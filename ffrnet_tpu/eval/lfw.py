@@ -1,0 +1,89 @@
+"""On-device LFW verification protocol (10-fold threshold sweep).
+
+Reproduces the reference protocol exactly (lfw/lfw_eval.py:110-287) but as a
+single vectorized XLA computation instead of a 10-process fork pool:
+
+  * cosine pair score with the reference's 1e-8 denominator epsilon
+    (lfw/lfw_eval.py:246-248)
+  * 10 contiguous folds over 6000 pairs (KFold(shuffle=False),
+    lfw/lfw_eval.py:110-118)
+  * threshold grid arange(-1.0, 1.0, 0.005) — 400 values
+    (lfw/lfw_eval.py:256)
+  * per fold: best threshold on the 5400 train pairs with the reference's
+    `accuracy >= best` tie-break (ascending scan keeps the LAST best
+    threshold, lfw/lfw_eval.py:155-162), then accuracy on the held-out 600
+  * report the mean over folds, for both raw and rectified embeddings
+
+The whole sweep is a (400 x 6000) boolean reduction — microseconds on a TPU
+core; the reference's multiprocessing fan-out becomes unnecessary.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+N_PAIRS = 6000
+N_FOLDS = 10
+THRESHOLD_START = -1.0
+THRESHOLD_STEP = 0.005
+N_THRESHOLDS = 400
+
+
+def pair_cosine(f1, f2, *, eps: float = 1e-8):
+    """Cosine similarity per row pair (lfw/lfw_eval.py:246-248)."""
+    dot = jnp.sum(f1 * f2, axis=1)
+    n1 = jnp.sqrt(jnp.sum(jnp.square(f1), axis=1))
+    n2 = jnp.sqrt(jnp.sum(jnp.square(f2), axis=1))
+    return dot / (n1 * n2 + eps)
+
+
+class FoldResult(NamedTuple):
+    mean_accuracy: jnp.ndarray  # scalar
+    fold_accuracies: jnp.ndarray  # (n_folds,)
+    best_thresholds: jnp.ndarray  # (n_folds,)
+
+
+@partial(jax.jit, static_argnames=("n_folds",))
+def kfold_verification(scores, labels, *, n_folds: int = N_FOLDS) -> FoldResult:
+    """Full 10-fold threshold-sweep verification in one jitted reduction.
+
+    scores: (N,) pair cosine similarities; labels: (N,) {0,1} same-person.
+    """
+    n = scores.shape[0]
+    per_fold = n // n_folds
+    thresholds = THRESHOLD_START + THRESHOLD_STEP * jnp.arange(
+        N_THRESHOLDS, dtype=scores.dtype)
+
+    # predicted-same iff score > threshold (strict >, lfw/lfw_eval.py:142)
+    pred = scores[None, :] > thresholds[:, None]  # (T, N)
+    correct = pred == (labels[None, :] > 0)  # (T, N) bool
+    fold_correct = correct.reshape(N_THRESHOLDS, n_folds, per_fold).sum(-1)
+    total_correct = correct.sum(-1, keepdims=True)  # (T, 1)
+    train_correct = total_correct - fold_correct  # (T, F)
+
+    # Last argmax along the threshold axis == reference `>=` tie-break.
+    best_idx = N_THRESHOLDS - 1 - jnp.argmax(train_correct[::-1], axis=0)  # (F,)
+    fold_acc = (
+        fold_correct[best_idx, jnp.arange(n_folds)].astype(jnp.float32) / per_fold
+    )
+    return FoldResult(
+        mean_accuracy=fold_acc.mean(),
+        fold_accuracies=fold_acc,
+        best_thresholds=thresholds[best_idx],
+    )
+
+
+@jax.jit
+def verification_from_embeddings(f1, f2, f1_new, f2_new, labels):
+    """raw + rectified accuracies from pair embeddings.
+
+    Mirrors get_avg_accuracy's (avg_acc_new, avg_acc) return
+    (lfw/lfw_eval.py:272-287).
+    """
+    res_new = kfold_verification(pair_cosine(f1_new, f2_new), labels)
+    res_raw = kfold_verification(pair_cosine(f1, f2), labels)
+    return res_new, res_raw

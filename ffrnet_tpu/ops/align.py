@@ -1,0 +1,217 @@
+"""Batched on-device face alignment: cp2tform similarity solve + affine warp.
+
+The reference aligns faces on CPU, one at a time: a NumPy port of MATLAB
+cp2tform solves a 4-unknown least-squares system per face
+(lfw/matlab_cp2tform.py:223-432) and cv2.warpAffine crops to 96x112
+(lfw/gen_lfw112x96.py:6-17). Here the whole pipeline is batched jnp running
+on device, feeding the encoder directly:
+
+  * `similarity_transform` solves the nonreflective system in closed form
+    from the 4x4 normal equations (the reference's lstsq on the structured
+    (2K, 4) matrix reduces exactly to this), evaluates the Y-reflected
+    variant too, and picks the lower-residual solution per batch element
+    (<= prefers nonreflective, matching findSimilarity,
+    lfw/matlab_cp2tform.py:340-432).
+  * `warp_affine` applies the resulting 2x3 matrices with bilinear sampling
+    and constant-zero borders, matching cv2.warpAffine's default
+    dst->src inverse mapping semantics.
+
+ARCFACE_REF_PTS are the canonical 5-point destination landmarks for the
+96x112 crop (lfw/gen_lfw112x96.py:8-9).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Canonical ArcFace reference landmarks for a (W=96, H=112) crop.
+ARCFACE_REF_PTS = np.array(
+    [[30.2946, 51.6963], [65.5318, 51.5014], [48.0252, 71.7366],
+     [33.5493, 92.3655], [62.7299, 92.2041]], dtype=np.float32)
+
+
+def _solve_nonreflective(uv, xy):
+    """Closed-form nonreflective similarity fit, batched.
+
+    Solves for r = (sc, ss, tx, ty) minimizing ||X r - U||^2 where X is the
+    stacked [x y 1 0; y -x 0 1] system (lfw/matlab_cp2tform.py:297-312);
+    returns the 3x3 matrix trans mapping uv -> xy row-vectors
+    ([x, y, 1] = [u, v, 1] @ trans).
+
+    uv, xy: (..., K, 2).
+    """
+    x, y = xy[..., 0], xy[..., 1]
+    u, v = uv[..., 0], uv[..., 1]
+    k = jnp.asarray(x.shape[-1], x.dtype)
+
+    sxx = jnp.sum(x * x + y * y, axis=-1)
+    sx = jnp.sum(x, axis=-1)
+    sy = jnp.sum(y, axis=-1)
+    zero = jnp.zeros_like(sx)
+    kk = jnp.broadcast_to(k, sx.shape)
+    # X^T X  (4x4, structured)
+    xtx = jnp.stack([
+        jnp.stack([sxx, zero, sx, sy], axis=-1),
+        jnp.stack([zero, sxx, sy, -sx], axis=-1),
+        jnp.stack([sx, sy, kk, zero], axis=-1),
+        jnp.stack([sy, -sx, zero, kk], axis=-1),
+    ], axis=-2)
+    # X^T U
+    xtu = jnp.stack([
+        jnp.sum(x * u + y * v, axis=-1),
+        jnp.sum(y * u - x * v, axis=-1),
+        jnp.sum(u, axis=-1),
+        jnp.sum(v, axis=-1),
+    ], axis=-1)
+    r = jnp.linalg.solve(xtx, xtu[..., None])[..., 0]
+    sc, ss, tx, ty = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
+
+    # Tinv maps xy -> uv; trans = inv(Tinv) with last column [0, 0, 1]
+    # (lfw/matlab_cp2tform.py:320-335). Invert the 2x2 + translation directly.
+    det = sc * sc + ss * ss
+    a = sc / det
+    b = -ss / det  # inv([[sc, -ss], [ss, sc]]) = [[sc, ss], [-ss, sc]] / det
+    # trans linear part L satisfies Linv @ L = I with Linv = [[sc,-ss],[ss,sc]]
+    # (row-vector convention); translation row solves [tx ty] @ L + t = 0.
+    l00, l01 = a, -b
+    l10, l11 = b, a
+    t0 = -(tx * l00 + ty * l10)
+    t1 = -(tx * l01 + ty * l11)
+    zero = jnp.zeros_like(a)
+    one = jnp.ones_like(a)
+    trans = jnp.stack([
+        jnp.stack([l00, l01, zero], axis=-1),
+        jnp.stack([l10, l11, zero], axis=-1),
+        jnp.stack([t0, t1, one], axis=-1),
+    ], axis=-2)
+    return trans
+
+
+def _tformfwd(trans, uv):
+    """Apply row-vector transform: (..., K, 2) @ (..., 3, 3) -> (..., K, 2)."""
+    ones = jnp.ones(uv.shape[:-1] + (1,), uv.dtype)
+    homo = jnp.concatenate([uv, ones], axis=-1)
+    out = jnp.einsum("...ki,...ij->...kj", homo, trans)
+    return out[..., :2]
+
+
+def similarity_transform(src_pts, dst_pts, *, reflective: bool = True):
+    """Batched cp2tform: returns 3x3 trans mapping src -> dst (row vectors).
+
+    src_pts, dst_pts: (..., K, 2). With reflective=True both the direct and
+    Y-reflected fits are evaluated and the lower-residual one returned
+    (ties keep the nonreflective fit, lfw/matlab_cp2tform.py:425-430).
+    """
+    trans1 = _solve_nonreflective(src_pts, dst_pts)
+    if not reflective:
+        return trans1
+
+    reflect = jnp.asarray(
+        [[-1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], src_pts.dtype)
+    xy_r = dst_pts * jnp.asarray([-1.0, 1.0], src_pts.dtype)
+    trans2 = _solve_nonreflective(src_pts, xy_r) @ reflect
+
+    norm1 = jnp.linalg.norm(
+        (_tformfwd(trans1, src_pts) - dst_pts).reshape(*src_pts.shape[:-2], -1),
+        axis=-1)
+    norm2 = jnp.linalg.norm(
+        (_tformfwd(trans2, src_pts) - dst_pts).reshape(*src_pts.shape[:-2], -1),
+        axis=-1)
+    pick1 = (norm1 <= norm2)[..., None, None]
+    return jnp.where(pick1, trans1, trans2)
+
+
+def cv2_transform(src_pts, dst_pts, *, reflective: bool = True):
+    """2x3 matrices for column-vector convention:
+    [x, y]^T = M @ [u, v, 1]^T  (get_similarity_transform_for_cv2,
+    lfw/matlab_cp2tform.py:503-537)."""
+    trans = similarity_transform(src_pts, dst_pts, reflective=reflective)
+    return jnp.swapaxes(trans[..., :, 0:2], -1, -2)
+
+
+def _invert_2x3(m):
+    """Invert (N, 2, 3) affine matrices (dst->src for sampling)."""
+    a = m[..., :2]  # (N, 2, 2)
+    t = m[..., 2]  # (N, 2)
+    det = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    inv00 = a[..., 1, 1] / det
+    inv01 = -a[..., 0, 1] / det
+    inv10 = -a[..., 1, 0] / det
+    inv11 = a[..., 0, 0] / det
+    ainv = jnp.stack([
+        jnp.stack([inv00, inv01], axis=-1),
+        jnp.stack([inv10, inv11], axis=-1),
+    ], axis=-2)
+    tinv = -jnp.einsum("...ij,...j->...i", ainv, t)
+    return jnp.concatenate([ainv, tinv[..., None]], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def warp_affine(imgs, mats, *, out_hw: Tuple[int, int]):
+    """Batched cv2.warpAffine-equivalent bilinear warp, zero border.
+
+    imgs: (N, H, W, C); mats: (N, 2, 3) forward (src->dst) matrices in the
+    cv2 column-vector convention. out_hw: (H_out, W_out). cv2 inverts the
+    matrix internally (no WARP_INVERSE_MAP); we do the same.
+    """
+    n, h, w, c = imgs.shape
+    out_h, out_w = out_hw
+    inv = _invert_2x3(mats.astype(jnp.float32))
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_h, dtype=jnp.float32),
+        jnp.arange(out_w, dtype=jnp.float32), indexing="ij")
+    ones = jnp.ones_like(xs)
+    dst = jnp.stack([xs, ys, ones], axis=-1).reshape(-1, 3)  # (P, 3)
+    src = jnp.einsum("nij,pj->npi", inv, dst)  # (N, P, 2) -> (x, y)
+    sx, sy = src[..., 0], src[..., 1]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        flat = imgs.reshape(n, h * w, c)
+        idx = yc * w + xc  # (N, P)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (N, P, C)
+        return vals * valid[..., None].astype(imgs.dtype)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+
+    w00 = ((1 - fy) * (1 - fx))[..., None].astype(imgs.dtype)
+    w01 = ((1 - fy) * fx)[..., None].astype(imgs.dtype)
+    w10 = (fy * (1 - fx))[..., None].astype(imgs.dtype)
+    w11 = (fy * fx)[..., None].astype(imgs.dtype)
+
+    out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+    return out.reshape(n, out_h, out_w, c)
+
+
+def align_faces(imgs, landmarks, *, out_hw: Tuple[int, int] = (112, 96),
+                ref_pts=None):
+    """End-to-end batched alignment: landmarks -> cp2tform -> warp.
+
+    imgs: (N, H, W, C); landmarks: (N, 5, 2) as (x, y).
+    Returns (N, out_h, out_w, C) aligned crops (the on-device equivalent of
+    gen_lfw112x96.align, lfw/gen_lfw112x96.py:6-17).
+    """
+    if ref_pts is None:
+        ref_pts = ARCFACE_REF_PTS
+    ref = jnp.broadcast_to(jnp.asarray(ref_pts, jnp.float32),
+                           landmarks.shape[:-2] + (5, 2))
+    mats = cv2_transform(landmarks.astype(jnp.float32), ref)
+    return warp_affine(imgs, mats, out_hw=out_hw)

@@ -1,0 +1,78 @@
+"""Verification-protocol tests: vectorized sweep vs a literal numpy mirror
+of the reference algorithm (lfw/lfw_eval.py:110-287)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ffrnet_tpu.eval.lfw import kfold_verification, pair_cosine
+
+
+def _reference_protocol(scores, labels, n_folds=10):
+    """Line-by-line numpy mirror of KFold + find_best_threshold + eval_acc."""
+    n = len(scores)
+    thresholds = np.arange(-1.0, 1.0, 0.005)
+    base = list(range(n))
+    accs, best_ts = [], []
+    for i in range(n_folds):
+        test = base[i * n // n_folds:(i + 1) * n // n_folds]
+        train = list(set(base) - set(test))
+
+        def eval_acc(threshold, idx):
+            pred = (scores[idx] > threshold).astype(int)
+            return np.count_nonzero(labels[idx] == pred) / len(idx)
+
+        best_t = best_acc = 0
+        for t in thresholds:
+            a = eval_acc(t, train)
+            if a >= best_acc:
+                best_acc, best_t = a, t
+        accs.append(eval_acc(best_t, test))
+        best_ts.append(best_t)
+    return float(np.mean(accs)), np.array(best_ts), np.array(accs)
+
+
+def test_kfold_matches_reference_protocol():
+    rng = np.random.default_rng(42)
+    n = 6000
+    labels = rng.integers(0, 2, n)
+    # realistic bimodal score distribution
+    scores = np.where(
+        labels == 1,
+        rng.normal(0.55, 0.2, n),
+        rng.normal(0.05, 0.2, n),
+    ).astype(np.float32).clip(-1, 1)
+
+    ref_mean, ref_ts, ref_accs = _reference_protocol(scores, labels)
+    res = kfold_verification(jnp.asarray(scores), jnp.asarray(labels))
+
+    np.testing.assert_allclose(np.asarray(res.fold_accuracies), ref_accs, atol=1e-6)
+    np.testing.assert_allclose(float(res.mean_accuracy), ref_mean, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.best_thresholds), ref_ts, atol=1e-6)
+
+
+def test_kfold_tie_break_keeps_last_threshold():
+    # All-zero scores, all labels 0: every threshold >= 0 predicts "diff" for
+    # all pairs -> accuracy 1 for thresholds >= 0; the reference keeps the
+    # LAST tied threshold (>= update).
+    scores = np.zeros(6000, dtype=np.float32)
+    labels = np.zeros(6000, dtype=np.int64)
+    ref_mean, ref_ts, _ = _reference_protocol(scores, labels)
+    res = kfold_verification(jnp.asarray(scores), jnp.asarray(labels))
+    np.testing.assert_allclose(np.asarray(res.best_thresholds), ref_ts, atol=1e-6)
+    assert float(res.mean_accuracy) == ref_mean == 1.0
+
+
+def test_pair_cosine_epsilon():
+    f1 = np.zeros((3, 8), dtype=np.float32)
+    f2 = np.ones((3, 8), dtype=np.float32)
+    out = np.asarray(pair_cosine(jnp.asarray(f1), jnp.asarray(f2)))
+    np.testing.assert_allclose(out, 0.0)  # 0/(0+eps), no NaN
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((5, 16)).astype(np.float32)
+    b = rng.standard_normal((5, 16)).astype(np.float32)
+    expected = (a * b).sum(1) / (
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-8)
+    np.testing.assert_allclose(
+        np.asarray(pair_cosine(jnp.asarray(a), jnp.asarray(b))), expected,
+        atol=1e-6, rtol=1e-6)

@@ -1,0 +1,83 @@
+"""Torch-free .pth reader/writer round-trips against real torch.save files."""
+
+import numpy as np
+import pytest
+
+from ffrnet_tpu.checkpoint.pth_io import load_pth, save_pth
+
+torch = pytest.importorskip("torch")
+
+
+def _sample_obj():
+    rng = np.random.default_rng(0)
+    return {
+        "RecNet": {
+            "w": rng.standard_normal((4, 3, 3, 3)).astype(np.float32),
+            "b": rng.standard_normal(7).astype(np.float32),
+            "idx": rng.integers(0, 10, 5).astype(np.int64),
+        },
+        "epoch": 3,
+        "iter": 1234,
+    }
+
+
+def _assert_same(a, b):
+    assert set(a) == set(b)
+    for k, v in a.items():
+        if isinstance(v, dict):
+            _assert_same(v, b[k])
+        elif isinstance(v, np.ndarray):
+            np.testing.assert_array_equal(np.asarray(b[k]), v)
+        else:
+            assert b[k] == v
+
+
+@pytest.mark.parametrize("zipfmt", [True, False])
+def test_read_torch_save(tmp_path, zipfmt):
+    obj = _sample_obj()
+    path = tmp_path / "ckpt.pth"
+    tens = {
+        "RecNet": {k: torch.from_numpy(v) for k, v in obj["RecNet"].items()},
+        "epoch": obj["epoch"],
+        "iter": obj["iter"],
+    }
+    torch.save(tens, path, _use_new_zipfile_serialization=zipfmt)
+    _assert_same(obj, load_pth(str(path)))
+
+
+def test_read_gzip_wrapped(tmp_path):
+    """The reference's gzip-wrapped checkpoints (utils/utils.py:110-123)."""
+    import gzip
+
+    obj = _sample_obj()
+    path = tmp_path / "ckpt.pth.gzip"
+    tens = {k: (torch.from_numpy(v) if isinstance(v, np.ndarray) else v)
+            for k, v in obj["RecNet"].items()}
+    with gzip.GzipFile(path, "wb") as f:
+        torch.save({"RecNet": tens, "epoch": obj["epoch"], "iter": obj["iter"]}, f)
+    _assert_same(obj, load_pth(str(path)))
+
+
+def test_noncontiguous_tensor(tmp_path):
+    x = torch.arange(24, dtype=torch.float32).reshape(4, 6).t()  # stride tricks
+    path = tmp_path / "t.pth"
+    torch.save({"x": x}, path)
+    out = load_pth(str(path))
+    np.testing.assert_array_equal(out["x"], x.numpy())
+
+
+@pytest.mark.parametrize("use_torch_writer", [True, False])
+def test_save_pth_roundtrip(tmp_path, use_torch_writer):
+    obj = _sample_obj()
+    path = tmp_path / "out.pth.gzip"
+    save_pth(obj, str(path), use_torch=use_torch_writer)
+    # read back through torch itself (interop check)
+    import gzip
+
+    with gzip.open(path, "rb") as f:
+        back = torch.load(f, weights_only=False)
+    np.testing.assert_array_equal(back["RecNet"]["w"], obj["RecNet"]["w"])
+    np.testing.assert_array_equal(back["RecNet"]["idx"], obj["RecNet"]["idx"])
+    assert back["epoch"] == 3 and back["iter"] == 1234
+    # and through our own reader
+    _assert_same(obj, load_pth(str(path)))
