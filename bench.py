@@ -1,0 +1,186 @@
+"""Benchmark: aligned faces/sec/chip through the full on-device pipeline
+(landmarks -> cp2tform align -> normalize -> IR-SE50 -> RecNet rectify ->
+pair cosine scores), the BASELINE.json north-star metric.
+
+Prints ONE JSON line:
+  {"metric": "aligned_faces_per_sec_per_chip", "value": N, "unit": "faces/s",
+   "vs_baseline": R}
+
+vs_baseline compares against the PyTorch reference pipeline measured on this
+image's CPU torch build (BASELINE.md: the reference has no GPU here and
+publishes no numbers; its alignment path is serial NumPy/cv2 + torch
+encoder, measured once and recorded below — re-measure live with
+FFRNET_BENCH_MEASURE_TORCH=1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+# Reference pipeline throughput measured on this image (faces/sec):
+# torch-cpu IR-SE50+RecNet inference batch=8 + per-face cp2tform/cv2 align.
+# Re-measured via FFRNET_BENCH_MEASURE_TORCH=1 (see _measure_torch_baseline).
+TORCH_BASELINE_FACES_PER_SEC = None  # filled from file when present
+_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "reference_baseline.json")
+
+BATCH = int(os.environ.get("FFRNET_BENCH_BATCH", "256"))
+ITERS = int(os.environ.get("FFRNET_BENCH_ITERS", "20"))
+WARMUP = 3
+DTYPE = os.environ.get("FFRNET_BENCH_DTYPE", "bf16")
+
+
+def _measure_torch_baseline() -> float:
+    """Reference-equivalent pipeline on torch CPU (batch 8, BASELINE.json
+    config[0]) + serial NumPy cp2tform alignment per face."""
+    import torch
+
+    # the reference imports torchvision at module scope; stub if missing
+    import types
+
+    for _name in ("torchvision", "torchvision.transforms",
+                  "torchvision.transforms.functional"):
+        if _name not in sys.modules:
+            try:
+                __import__(_name)
+            except ImportError:
+                sys.modules[_name] = types.ModuleType(_name)
+    sys.path.insert(0, "/root/reference")
+    from lfw.matlab_cp2tform import get_similarity_transform_for_cv2
+    from models.recnet import RecNet
+    from pretrain.model_ir_se50 import Backbone
+
+    torch.manual_seed(0)
+    enc = Backbone(50, 0.6, "ir_se").eval()
+    rec = RecNet().eval()
+    ref = np.array([[30.2946, 51.6963], [65.5318, 51.5014], [48.0252, 71.7366],
+                    [33.5493, 92.3655], [62.7299, 92.2041]], np.float32)
+    rng = np.random.default_rng(0)
+    batch = 8
+    imgs = torch.from_numpy(
+        rng.uniform(-1, 1, (batch, 3, 112, 112)).astype(np.float32))
+    lmks = ref[None] + rng.normal(0, 2, (batch, 5, 2)).astype(np.float32)
+
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
+    src = rng.uniform(0, 255, (250, 250, 3)).astype(np.float32)
+
+    def one_batch():
+        for i in range(batch):
+            tfm = get_similarity_transform_for_cv2(lmks[i].copy(), ref.copy())
+            if cv2 is not None:
+                cv2.warpAffine(src, tfm, (112, 112))
+        with torch.no_grad():
+            fm, f = enc(imgs)
+            f_new, _ = rec(fm)
+            torch.sum(f_new[0::2] * f_new[1::2], dim=1)
+
+    one_batch()  # warmup
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        one_batch()
+    dt = time.perf_counter() - t0
+    return batch * n_iters / dt
+
+
+def _load_or_measure_baseline() -> float | None:
+    if os.environ.get("FFRNET_BENCH_MEASURE_TORCH") == "1":
+        try:
+            fps = _measure_torch_baseline()
+            with open(_BASELINE_FILE, "w") as f:
+                json.dump({"torch_cpu_faces_per_sec": fps,
+                           "method": "batch=8 IR-SE50+RecNet torch-cpu + "
+                                     "serial cp2tform/cv2 align"}, f)
+            return fps
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] torch baseline measurement failed: {e}",
+                  file=sys.stderr)
+    if os.path.exists(_BASELINE_FILE):
+        with open(_BASELINE_FILE) as f:
+            return json.load(f)["torch_cpu_faces_per_sec"]
+    return None
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ffrnet_tpu.models import irse, recnet
+    from ffrnet_tpu.models.recnet import RecNetConfig
+    from ffrnet_tpu.ops.align import ARCFACE_REF_PTS, cv2_transform, warp_affine_mxu
+    from ffrnet_tpu.eval.lfw import pair_cosine
+
+    dtype = jnp.bfloat16 if DTYPE == "bf16" else jnp.float32
+    cfg = RecNetConfig()
+    enc_params, enc_state = irse.init(jax.random.PRNGKey(0))
+    rec_params, rec_state = recnet.init(jax.random.PRNGKey(1), cfg)
+    if dtype != jnp.float32:
+        cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
+        enc_params, enc_state = cast(enc_params), cast(enc_state)
+        rec_params, rec_state = cast(rec_params), cast(rec_state)
+
+    @jax.jit
+    def pipeline(enc_p, enc_s, rec_p, rec_s, raw, landmarks):
+        ref = jnp.broadcast_to(jnp.asarray(ARCFACE_REF_PTS), landmarks.shape)
+        mats = cv2_transform(landmarks, ref)
+        aligned = warp_affine_mxu(raw, mats, out_hw=(112, 112))
+        x = (aligned.astype(dtype) / 127.5) - 1.0
+        featmap, embed, _ = irse.apply(enc_p, enc_s, x, training=False)
+        (feat_v, _), _ = recnet.apply(rec_p, rec_s, featmap, cfg=cfg,
+                                      training=False)
+        scores = pair_cosine(feat_v[0::2].astype(jnp.float32),
+                             feat_v[1::2].astype(jnp.float32))
+        # chain token: forces cross-iteration serialization when fed back
+        token = jnp.sum(scores) * jnp.float32(1e-20)
+        return embed, feat_v, scores, token
+
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.uniform(0, 255, (BATCH, 250, 250, 3)).astype(np.float32))
+    lmk = jnp.asarray(
+        (ARCFACE_REF_PTS[None] + rng.normal(0, 2, (BATCH, 5, 2)) + 60
+         ).astype(np.float32))
+
+    def run_chain(n_iters):
+        """n dependent pipeline executions, one host sync at the end.
+
+        Through a relay/tunnel PJRT client block_until_ready can return
+        early, and a device_get pays one RTT — chaining makes device time
+        dominate and the single final fetch amortizes the RTT.
+        """
+        token = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            _, _, _, token = pipeline(enc_params, enc_state, rec_params,
+                                      rec_state, raw + token, lmk)
+        float(jax.device_get(token))
+        return time.perf_counter() - t0
+
+    run_chain(WARMUP)  # compile + warm
+    t_short = run_chain(2)
+    t_long = run_chain(2 + ITERS)
+    # slope removes the constant RTT + dispatch overhead
+    dt = max(t_long - t_short, 1e-9)
+    faces_per_sec = BATCH * ITERS / dt
+
+    baseline = _load_or_measure_baseline()
+    vs = faces_per_sec / baseline if baseline else 0.0
+    print(json.dumps({
+        "metric": "aligned_faces_per_sec_per_chip",
+        "value": round(faces_per_sec, 2),
+        "unit": "faces/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -169,6 +169,13 @@ def _read_legacy(f: BinaryIO) -> Any:
     return result
 
 
+def _rebuild_seq(obj, mapped):
+    """Rebuild a list/tuple/namedtuple from mapped elements."""
+    if isinstance(obj, tuple) and hasattr(obj, "_fields"):  # namedtuple
+        return type(obj)(*mapped)
+    return type(obj)(mapped)
+
+
 def _plain(obj):
     """Convert OrderedDict stubs to dicts; materialize lazy tensors."""
     if isinstance(obj, _LazyTensor):
@@ -176,7 +183,7 @@ def _plain(obj):
     if isinstance(obj, dict):
         return {k: _plain(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):
-        return type(obj)(_plain(v) for v in obj)
+        return _rebuild_seq(obj, [_plain(v) for v in obj])
     return obj
 
 
@@ -272,7 +279,7 @@ def _write_zip(obj: Any, f: BinaryIO) -> None:
         if isinstance(o, dict):
             return {k: wrap(v) for k, v in o.items()}
         if isinstance(o, (list, tuple)):
-            return type(o)(wrap(v) for v in o)
+            return _rebuild_seq(o, [wrap(v) for v in o])
         return o
 
     wrapped = wrap(obj)
@@ -303,7 +310,7 @@ def save_pth(obj: Any, path: str, *, use_torch: bool = True) -> None:
                     if isinstance(o, dict):
                         return {k: to_torch(v) for k, v in o.items()}
                     if isinstance(o, (list, tuple)):
-                        return type(o)(to_torch(v) for v in o)
+                        return _rebuild_seq(o, [to_torch(v) for v in o])
                     return o
 
                 torch.save(to_torch(obj), fobj)

@@ -1,0 +1,161 @@
+"""Experiment configuration: reference-compatible flag surface.
+
+Replaces the reference's two-tier run.py + argparse system
+(run.py:41-63, utils/options.py:13-132) with one dataclass + argparse
+front-end that keeps the same public flags (--phase/--batch_size/
+--loss_weight/--optimizer/--lr/...). Derived fields (run dirs, config
+string dump) follow the reference's `save_weight_dir` naming
+(utils/options.py:112-131). The GPU-picking side effects
+(utils/options.py:81-95) have no TPU analog and are dropped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from ffrnet_tpu.models.recnet import RecNetConfig
+from ffrnet_tpu.training.trainer import TrainerConfig
+
+
+@dataclass
+class Options:
+    # phase / debug
+    phase: str = "train"
+    debug: int = 0
+    # data
+    dataset: str = "CASIA"
+    train_data: str = ""
+    train_img_list: str = ""
+    val_data: str = ""
+    test_data: str = ""           # LFW root (aligned + masked twins)
+    test_pair_list: str = ""      # lfw_pairs.txt
+    weight_root: str = "./weight"
+    # model
+    model_name: str = "FFR-Net"
+    num_classes: int = 10575
+    ss_impl: str = "xla"          # self-similarity implementation: xla|pallas
+    # loss
+    loss_weight: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    loss: str = "sphere"
+    faithful_ce_weight: int = 1
+    # optimizer
+    optimizer: str = "Adam"
+    lr: float = 1e-2
+    beta1: float = 0.5
+    beta2: float = 0.999
+    weight_decay: float = 5e-4
+    momentum: float = 0.9
+    nesterov: int = 0
+    # train
+    seed: int = 123
+    n_thread: int = 8
+    batch_size: int = 64
+    total_epochs: int = 10
+    continue_train: int = 0
+    save_freq: int = 2000
+    print_freq: int = 10
+    eval_freq: int = 100
+    # parallelism
+    mesh_data: int = 0            # 0 = all devices / mesh_model
+    mesh_model: int = 1
+    # test / misc
+    test_result_dir: str = "./test_result"
+    which_file: str = "latest"
+    other: str = ""
+    encoder_weights: str = "./pretrain/se50.pth"
+    recnet_weights: str = ""      # optional FFRNet.pth(.gzip) import
+
+    # derived (filled by finalize)
+    save_weight_dir: str = ""
+    ckpt_dir: str = ""
+    log_dir: str = ""
+    config_string: str = ""
+
+    def finalize(self, make_dirs: bool = True) -> "Options":
+        self.save_weight_dir = "model_{}-loss_{}-{}".format(
+            self.model_name, self.loss, self.other)
+        self.ckpt_dir = os.path.join(self.weight_root, self.save_weight_dir)
+        self.log_dir = os.path.join(self.weight_root, "log_dir")
+        if make_dirs:
+            for d in (self.ckpt_dir, self.log_dir,
+                      os.path.join(self.ckpt_dir, "visuals"),
+                      os.path.join(self.ckpt_dir, "test"),
+                      os.path.join(self.ckpt_dir, "val")):
+                os.makedirs(d, exist_ok=True)
+        lines = ["------------ Options -------------"]
+        for f_ in sorted(dataclasses.fields(self), key=lambda f_: f_.name):
+            lines.append(f"{f_.name}: {getattr(self, f_.name)}")
+        lines.append("-------------- End ----------------")
+        self.config_string = "\n".join(lines)
+        if make_dirs:
+            with open(os.path.join(self.ckpt_dir, "opt.txt"), "w") as fh:
+                fh.write(self.config_string + "\n")
+        return self
+
+    def trainer_config(self) -> TrainerConfig:
+        return TrainerConfig(
+            optimizer=self.optimizer.lower(),
+            lr=self.lr,
+            beta1=self.beta1,
+            beta2=self.beta2,
+            momentum=self.momentum,
+            weight_decay=self.weight_decay,
+            loss_weight=tuple(self.loss_weight),
+            faithful_ce_weight=bool(self.faithful_ce_weight),
+            recnet=RecNetConfig(num_classes=self.num_classes,
+                                ss_impl=self.ss_impl),
+        )
+
+
+def parse_args(argv: Optional[List[str]] = None, *, make_dirs: bool = True) -> Options:
+    """argparse front-end exposing the reference's public flags."""
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    defaults = Options()
+    p.add_argument("--phase", type=str, default=defaults.phase)
+    p.add_argument("--debug", type=int, default=defaults.debug)
+    p.add_argument("--dataset", type=str, default=defaults.dataset)
+    p.add_argument("--train_data", type=str, default=defaults.train_data)
+    p.add_argument("--train_img_list", type=str, default=defaults.train_img_list)
+    p.add_argument("--val_data", type=str, default=defaults.val_data)
+    p.add_argument("--test_data", type=str, default=defaults.test_data)
+    p.add_argument("--test_pair_list", type=str, default=defaults.test_pair_list)
+    p.add_argument("--weight_root", type=str, default=defaults.weight_root)
+    p.add_argument("--model_name", type=str, default=defaults.model_name)
+    p.add_argument("--num_classes", type=int, default=defaults.num_classes)
+    p.add_argument("--ss_impl", type=str, default=defaults.ss_impl)
+    p.add_argument("--loss_weight", type=float, nargs=4,
+                   default=list(defaults.loss_weight))
+    p.add_argument("--loss", type=str, default=defaults.loss)
+    p.add_argument("--faithful_ce_weight", type=int,
+                   default=defaults.faithful_ce_weight)
+    p.add_argument("--optimizer", type=str, default=defaults.optimizer)
+    p.add_argument("--lr", type=float, default=defaults.lr)
+    p.add_argument("--beta1", type=float, default=defaults.beta1)
+    p.add_argument("--beta2", type=float, default=defaults.beta2)
+    p.add_argument("--weight_decay", type=float, default=defaults.weight_decay)
+    p.add_argument("--momentum", type=float, default=defaults.momentum)
+    p.add_argument("--nesterov", type=int, default=defaults.nesterov)
+    p.add_argument("--seed", type=int, default=defaults.seed)
+    p.add_argument("--nThread", dest="n_thread", type=int, default=defaults.n_thread)
+    p.add_argument("--batch_size", type=int, default=defaults.batch_size)
+    p.add_argument("--total_epochs", type=int, default=defaults.total_epochs)
+    p.add_argument("--continue_train", type=int, default=defaults.continue_train)
+    p.add_argument("--save_freq", type=int, default=defaults.save_freq)
+    p.add_argument("--print_freq", type=int, default=defaults.print_freq)
+    p.add_argument("--eval_freq", type=int, default=defaults.eval_freq)
+    p.add_argument("--mesh_data", type=int, default=defaults.mesh_data)
+    p.add_argument("--mesh_model", type=int, default=defaults.mesh_model)
+    p.add_argument("--test_result_dir", type=str, default=defaults.test_result_dir)
+    p.add_argument("--which_file", type=str, default=defaults.which_file)
+    p.add_argument("--other", type=str, default=defaults.other)
+    p.add_argument("--encoder_weights", type=str, default=defaults.encoder_weights)
+    p.add_argument("--recnet_weights", type=str, default=defaults.recnet_weights)
+    ns = p.parse_args(argv)
+    opts = Options(**{k: (tuple(v) if k == "loss_weight" else v)
+                      for k, v in vars(ns).items()})
+    return opts.finalize(make_dirs=make_dirs)

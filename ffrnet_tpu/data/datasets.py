@@ -1,0 +1,228 @@
+"""Dataset protocol: CASIA txt-list training pairs and LFW verification pairs.
+
+Replicates the reference data contracts exactly (data/dataset.py):
+
+  * CASIA: `path label` lines from a clean-list txt (data/dataset.py:108-120);
+    each sample pairs the image with its synthetically-masked twin found by
+    filename-prefix scan in the same directory (get_mask_path,
+    data/dataset.py:15-22)
+  * LFW: the standard `pairs.txt` protocol — 3 tokens = same person,
+    4 tokens = different (data/dataset.py:42-53); test_ocl_num in {0, 1, 2}
+    swaps path1 and/or path2 for the masked twin (data/dataset.py:63-66)
+  * both: RGB->BGR channel re-merge (data/dataset.py:137-140), bicubic
+    resize to 112x112 when needed, PAIRED horizontal flip with p=0.5, then
+    ToTensor + Normalize(0.5, 0.5) -> [-1, 1]
+
+Samples come back as NHWC float32 numpy arrays (TPU layout). A synthetic
+identity dataset is provided for smoke tests and benchmarking without the
+real CASIA/LFW trees.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMG_SIZE = (112, 112)  # (W, H)
+
+
+def parse_pairs_txt(pair_txt: str) -> Tuple[List[Tuple[str, str]], List[int]]:
+    """Parse the standard LFW pairs protocol (data/dataset.py:36-53)."""
+    with open(pair_txt) as f:
+        lines = f.readlines()[1:]
+    pair_names, labels = [], []
+    for line in lines:
+        p = line.strip().split()
+        if len(p) == 3:
+            labels.append(1)
+            name1 = f"{p[0]}/{p[0]}_{int(p[1]):04}.jpg"
+            name2 = f"{p[0]}/{p[0]}_{int(p[2]):04}.jpg"
+        elif len(p) == 4:
+            labels.append(0)
+            name1 = f"{p[0]}/{p[0]}_{int(p[1]):04}.jpg"
+            name2 = f"{p[2]}/{p[2]}_{int(p[3]):04}.jpg"
+        else:
+            continue
+        pair_names.append((name1, name2))
+    return pair_names, labels
+
+
+def find_mask_twin(data_root: str, image_path: str) -> Optional[str]:
+    """Locate the masked twin: same directory, same numeric prefix, different
+    file (get_mask_path, data/dataset.py:15-22)."""
+    folder, img = image_path.strip().split("/")
+    num = img.strip().split(".")[0]
+    for fname in _listdir_cached(os.path.join(data_root, folder)):
+        if fname.startswith(num) and fname != img:
+            return os.path.join(folder, fname)
+    return None
+
+
+@lru_cache(maxsize=65536)
+def _listdir_cached(path: str) -> Tuple[str, ...]:
+    return tuple(os.listdir(path))
+
+
+def _load_bgr(path: str) -> np.ndarray:
+    """Decode -> RGB -> BGR re-merge -> bicubic resize to 112x112 if needed.
+
+    Returns HWC uint8 (BGR channel order, matching the reference's PIL
+    channel re-merge, data/dataset.py:137-140)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if img.size != IMG_SIZE:
+        img = img.resize(IMG_SIZE, Image.BICUBIC)
+    arr = np.asarray(img, dtype=np.uint8)
+    return arr[:, :, ::-1]
+
+
+def _to_unit(arr_u8: np.ndarray) -> np.ndarray:
+    """ToTensor + Normalize([.5]*3, [.5]*3): uint8 -> float32 in [-1, 1]."""
+    return (arr_u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
+@dataclass
+class CasiaPairs:
+    """CASIA-WebFace paired clean/masked training set (data/dataset.py:91-162).
+
+    data_root: aligned image tree; img_list: `path label` lines.
+    """
+
+    data_root: str
+    img_list: str
+    flip_prob: float = 0.5
+    num_classes: int = 10575
+
+    def __post_init__(self):
+        self.items: List[Tuple[str, int]] = []
+        with open(self.img_list) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                path, label = line.strip().split()
+                self.items.append((path, int(label)))
+
+    def __len__(self):
+        return len(self.items)
+
+    def get(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        path, label = self.items[idx]
+        twin = find_mask_twin(self.data_root, path)
+        if twin is None:
+            raise FileNotFoundError(f"no masked twin for {path}")
+        img = _load_bgr(os.path.join(self.data_root, path))
+        mask = _load_bgr(os.path.join(self.data_root, twin))
+        if rng.random() < self.flip_prob:  # paired flip
+            img = img[:, ::-1]
+            mask = mask[:, ::-1]
+        return {
+            "img_non": _to_unit(img),
+            "img_ocl": _to_unit(mask),
+            "label": np.int32(label),
+        }
+
+
+@dataclass
+class LfwPairs:
+    """LFW verification pairs with 0/1/2 masked substitutions
+    (data/dataset.py:24-89)."""
+
+    face_root: str
+    pairs_list: str
+    test_ocl_num: int = 0
+    flip_prob: float = 0.5  # the reference flips eval pairs too
+
+    def __post_init__(self):
+        self.pair_names, self.labels = parse_pairs_txt(self.pairs_list)
+
+    def __len__(self):
+        return len(self.labels)
+
+    def get(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        path1, path2 = self.pair_names[idx]
+        if self.test_ocl_num >= 1:
+            path1 = find_mask_twin(self.face_root, path1) or path1
+        if self.test_ocl_num >= 2:
+            path2 = find_mask_twin(self.face_root, path2) or path2
+        img1 = _load_bgr(os.path.join(self.face_root, path1))
+        img2 = _load_bgr(os.path.join(self.face_root, path2))
+        if self.flip_prob and rng.random() < self.flip_prob:
+            img1 = img1[:, ::-1]
+            img2 = img2[:, ::-1]
+        return {
+            "img1": _to_unit(img1),
+            "img2": _to_unit(img2),
+            "label": np.int32(self.labels[idx]),
+            "idx": np.int32(idx),
+        }
+
+
+@dataclass
+class MaskVerificationPairs:
+    """Real-mask verification triples `masked nonmasked label`
+    (data/dataloader_mask_verification.py:16-88)."""
+
+    face_root: str
+    img_dir: str = "masked_whn_112_align_v4"
+    pair_txt: str = "masked_pairs_new_v4.txt"
+    flip_prob: float = 0.5
+
+    def __post_init__(self):
+        self.pair_names: List[Tuple[str, str]] = []
+        self.labels: List[int] = []
+        with open(os.path.join(self.face_root, self.pair_txt)) as f:
+            for line in f:
+                p = line.strip().split()
+                if len(p) < 3:
+                    continue
+                self.pair_names.append((p[0], p[1]))
+                self.labels.append(int(p[2]))
+
+    def __len__(self):
+        return len(self.labels)
+
+    def get(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        base = os.path.join(self.face_root, self.img_dir)
+        img1 = _load_bgr(os.path.join(base, self.pair_names[idx][0]))
+        img2 = _load_bgr(os.path.join(base, self.pair_names[idx][1]))
+        if self.flip_prob and rng.random() < self.flip_prob:
+            img1 = img1[:, ::-1]
+            img2 = img2[:, ::-1]
+        return {
+            "img1": _to_unit(img1),
+            "img2": _to_unit(img2),
+            "label": np.int32(self.labels[idx]),
+            "idx": np.int32(idx),
+        }
+
+
+@dataclass
+class SyntheticPairs:
+    """Procedural identity dataset for smoke tests / benches: each identity
+    is a fixed random template; the 'masked' twin zeroes the lower half
+    (a crude surgical-mask stand-in)."""
+
+    num_identities: int = 16
+    samples_per_id: int = 4
+    seed: int = 0
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        self.templates = rng.uniform(
+            -1, 1, (self.num_identities, 112, 112, 3)).astype(np.float32)
+
+    def __len__(self):
+        return self.num_identities * self.samples_per_id
+
+    def get(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        label = idx % self.num_identities
+        img = self.templates[label] + 0.05 * rng.standard_normal(
+            (112, 112, 3)).astype(np.float32)
+        mask = img.copy()
+        mask[60:100, 20:92] = -1.0
+        return {"img_non": img, "img_ocl": mask, "label": np.int32(label)}

@@ -1,0 +1,63 @@
+"""Evaluation runner: batched pair embedding + on-device verification.
+
+The reference loops pair batches with per-batch H2D/D2H round-trips and
+fans fold scoring over a process pool (lfw/lfw_eval.py:226-287). Here one
+jitted function embeds a pair batch (both images through the frozen encoder
+and RecNet in inference mode) and returns the raw + rectified cosine scores;
+the 10-fold sweep then runs as a single device reduction
+(ffrnet_tpu/eval/lfw.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ffrnet_tpu.eval.lfw import FoldResult, kfold_verification, pair_cosine
+from ffrnet_tpu.models import irse, recnet
+from ffrnet_tpu.models.recnet import RecNetConfig
+
+
+def make_pair_score_fn(cfg: RecNetConfig, *, num_layers: int = 50,
+                       mode: str = "ir_se", donate: bool = False):
+    """Jitted (params..., img1, img2) -> (scores_raw, scores_new) per pair."""
+
+    @partial(jax.jit, static_argnames=())
+    def score(enc_params, enc_state, rec_params, rec_state, img1, img2):
+        fm1, f1, _ = irse.apply(enc_params, enc_state, img1,
+                                num_layers=num_layers, mode=mode, training=False)
+        fm2, f2, _ = irse.apply(enc_params, enc_state, img2,
+                                num_layers=num_layers, mode=mode, training=False)
+        (f1_new, _), _ = recnet.apply(rec_params, rec_state, fm1, cfg=cfg,
+                                      training=False)
+        (f2_new, _), _ = recnet.apply(rec_params, rec_state, fm2, cfg=cfg,
+                                      training=False)
+        return pair_cosine(f1, f2), pair_cosine(f1_new, f2_new)
+
+    return score
+
+
+def evaluate_pairs(enc_params, enc_state, rec_params, rec_state,
+                   batches: Iterable, cfg: RecNetConfig = RecNetConfig(),
+                   score_fn=None) -> Tuple[FoldResult, FoldResult]:
+    """Run the full verification protocol over an iterable of pair batches
+    ({'img1','img2','label'} NHWC float32). Returns (result_new, result_raw)
+    — rectified first, mirroring get_avg_accuracy (lfw/lfw_eval.py:285-287).
+    """
+    score = score_fn or make_pair_score_fn(cfg)
+    raw_scores, new_scores, labels = [], [], []
+    for batch in batches:
+        s_raw, s_new = score(enc_params, enc_state, rec_params, rec_state,
+                             batch["img1"], batch["img2"])
+        raw_scores.append(np.asarray(s_raw))
+        new_scores.append(np.asarray(s_new))
+        labels.append(np.asarray(batch["label"]))
+    scores_raw = jnp.asarray(np.concatenate(raw_scores))
+    scores_new = jnp.asarray(np.concatenate(new_scores))
+    lab = jnp.asarray(np.concatenate(labels))
+    return (kfold_verification(scores_new, lab),
+            kfold_verification(scores_raw, lab))

@@ -151,6 +151,62 @@ def _invert_2x3(m):
     return jnp.concatenate([ainv, tinv[..., None]], axis=-1)
 
 
+@partial(jax.jit, static_argnames=("out_hw", "block"))
+def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 2048):
+    """Gather-free bilinear affine warp that runs on the MXU.
+
+    TPUs do dense math fast and random gathers slowly. Bilinear weights
+    factorize per output pixel p as w(p, y, x) = wy(p, y) * wx(p, x) with
+    only two taps each, so the warp becomes
+
+        t[p, x, c]  = sum_y wy[p, y] * img[y, x, c]     (batched matmul, MXU)
+        out[p, c]   = sum_x wx[p, x] * t[p, x, c]       (fused mul+reduce, VPU)
+
+    with wy/wx built on the fly from iota: relu(1 - |grid - src_coord|) is
+    exactly the 2-tap linear-interpolation kernel, and out-of-range
+    coordinates get zero weight = cv2's constant-zero border. Output pixels
+    are processed in `block`-sized chunks (lax.map) to bound the (B, block,
+    H_in) weight / (B, block, W_in, C) intermediate footprint.
+
+    Same semantics as `warp_affine` (cv2 dst->src inverse mapping).
+    """
+    n, h, w, c = imgs.shape
+    out_h, out_w = out_hw
+    p_total = out_h * out_w
+    inv = _invert_2x3(mats.astype(jnp.float32))
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_h, dtype=jnp.float32),
+        jnp.arange(out_w, dtype=jnp.float32), indexing="ij")
+    dst = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(p_total, jnp.float32)],
+                    axis=-1)  # (P, 3)
+    src = jnp.einsum("nij,pj->npi", inv, dst)  # (N, P, 2): (x, y)
+
+    pad = (-p_total) % block
+    src = jnp.pad(src, ((0, 0), (0, pad), (0, 0)))
+    src_blocks = src.reshape(n, -1, block, 2).transpose(1, 0, 2, 3)
+
+    y_grid = jnp.arange(h, dtype=jnp.float32)
+    x_grid = jnp.arange(w, dtype=jnp.float32)
+    img_flat = imgs.reshape(n, h, w * c)
+
+    def one_block(src_b):  # (N, block, 2)
+        sx, sy = src_b[..., 0], src_b[..., 1]
+        wy = jax.nn.relu(1.0 - jnp.abs(y_grid[None, None, :] - sy[..., None]))
+        # (N, block, H) @ (N, H, W*C) -> (N, block, W*C)
+        t = jnp.einsum("npy,nyf->npf", wy, img_flat,
+                       preferred_element_type=jnp.float32)
+        t = t.reshape(n, block, w, c)
+        wx = jax.nn.relu(1.0 - jnp.abs(x_grid[None, None, :] - sx[..., None]))
+        # broadcast-mul + reduce (fuses on the VPU; an einsum here would
+        # lower to n*block tiny batched dots and tile pathologically)
+        return jnp.sum(wx[..., None] * t, axis=2)
+
+    out = jax.lax.map(one_block, src_blocks)  # (nblk, N, block, C)
+    out = out.transpose(1, 0, 2, 3).reshape(n, p_total + pad, c)[:, :p_total]
+    return out.reshape(n, out_h, out_w, c).astype(imgs.dtype)
+
+
 @partial(jax.jit, static_argnames=("out_hw",))
 def warp_affine(imgs, mats, *, out_hw: Tuple[int, int]):
     """Batched cv2.warpAffine-equivalent bilinear warp, zero border.
@@ -202,16 +258,18 @@ def warp_affine(imgs, mats, *, out_hw: Tuple[int, int]):
 
 
 def align_faces(imgs, landmarks, *, out_hw: Tuple[int, int] = (112, 96),
-                ref_pts=None):
+                ref_pts=None, impl: str = "mxu"):
     """End-to-end batched alignment: landmarks -> cp2tform -> warp.
 
     imgs: (N, H, W, C); landmarks: (N, 5, 2) as (x, y).
     Returns (N, out_h, out_w, C) aligned crops (the on-device equivalent of
     gen_lfw112x96.align, lfw/gen_lfw112x96.py:6-17).
+    impl: 'mxu' (matmul warp, fast on TPU) or 'gather'.
     """
     if ref_pts is None:
         ref_pts = ARCFACE_REF_PTS
     ref = jnp.broadcast_to(jnp.asarray(ref_pts, jnp.float32),
                            landmarks.shape[:-2] + (5, 2))
     mats = cv2_transform(landmarks.astype(jnp.float32), ref)
-    return warp_affine(imgs, mats, out_hw=out_hw)
+    warp = warp_affine_mxu if impl == "mxu" else warp_affine
+    return warp(imgs, mats, out_hw=out_hw)

@@ -1,0 +1,6 @@
+from ffrnet_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    recnet_param_shardings,
+    replicated,
+)

@@ -1,0 +1,53 @@
+"""Device mesh construction and sharding rules.
+
+The reference's only parallelism is single-host DataParallel over GPUs
+(models/trainer.py:70-72). The TPU-native story is a 2-D
+('data', 'model') `jax.sharding.Mesh`:
+
+  * batches shard over 'data' (pure DP; gradient psum inserted by XLA)
+  * the one genuinely large weight — the CosFace classifier
+    (num_classes=10575 x 512, models/recnet.py:248) — shards its class axis
+    over 'model' (tensor parallelism for the widest matmul + its logits)
+  * everything else (a few MB of conv weights on 7x7 maps) replicates.
+
+With model=1 this degrades to plain DP; the same jitted step runs on any
+mesh shape, collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """('data', 'model') mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def recnet_param_shardings(mesh: Mesh, params):
+    """Sharding tree for RecNet params: classifier W (classes, 512) sharded
+    over 'model' on the class axis; everything else replicated."""
+    rep = replicated(mesh)
+    shardings = jax.tree.map(lambda _: rep, params)
+    if "classifier" in params:
+        shardings["classifier"] = {"w": NamedSharding(mesh, P("model", None))}
+    return shardings

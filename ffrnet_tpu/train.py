@@ -1,0 +1,194 @@
+"""Train / test driver (reference train.py rebuilt for TPU).
+
+Run:  python -m ffrnet_tpu.train --phase train --train_data <root> ...
+      python -m ffrnet_tpu.train --phase test --test_data <root> ...
+
+Loop cadence matches the reference (train.py:40-97): per-iteration logging,
+'latest' checkpoint every save_freq//10, numbered every save_freq, LFW eval
+at ocl in {0,1,2} every eval_freq, per-iteration LR schedule; resume with
+--continue_train 1 --which_file latest fast-forwards to the stored
+epoch/iter (train.py:29-42). The compute itself is one pjit'd step over a
+('data', 'model') mesh.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ffrnet_tpu.checkpoint.pth_io import load_pth
+from ffrnet_tpu.checkpoint.store import load_checkpoint, save_checkpoint
+from ffrnet_tpu.checkpoint.torch_convert import backbone_from_torch, recnet_from_torch
+from ffrnet_tpu.config import Options, parse_args
+from ffrnet_tpu.data.datasets import CasiaPairs, LfwPairs, SyntheticPairs
+from ffrnet_tpu.data.pipeline import BatchLoader
+from ffrnet_tpu.eval.runner import evaluate_pairs, make_pair_score_fn
+from ffrnet_tpu.models import irse
+from ffrnet_tpu.parallel.mesh import batch_sharding, make_mesh
+from ffrnet_tpu.training.trainer import (
+    TrainState, create_train_state, make_distributed_step)
+from ffrnet_tpu.utils.logger import Logger
+from ffrnet_tpu.utils.timer import Timer
+
+
+def load_encoder(opts: Options):
+    """Frozen IR-SE50: imported from se50.pth when present, else random."""
+    if opts.encoder_weights and os.path.exists(opts.encoder_weights):
+        sd = load_pth(opts.encoder_weights)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        return backbone_from_torch(sd)
+    print(f"[warn] encoder weights {opts.encoder_weights!r} not found — "
+          "random init (parity numbers will be meaningless)", file=sys.stderr)
+    return irse.init(jax.random.PRNGKey(0))
+
+
+def make_train_dataset(opts: Options):
+    if opts.train_data in ("", "synthetic"):
+        print("[warn] no --train_data given — synthetic identity dataset",
+              file=sys.stderr)
+        return SyntheticPairs(num_identities=min(opts.num_classes, 64))
+    img_list = opts.train_img_list or os.path.join(
+        os.path.dirname(opts.train_data), "test", "casia_cleanlist.txt")
+    return CasiaPairs(opts.train_data, img_list)
+
+
+def make_eval_batches(opts: Options, ocl_num: int, batch_size: int):
+    ds = LfwPairs(opts.test_data, opts.test_pair_list, test_ocl_num=ocl_num)
+    loader = BatchLoader(ds, batch_size, shuffle=False, drop_last=False,
+                         seed=opts.seed, num_threads=opts.n_thread)
+    return loader.epoch(0)
+
+
+def eval_lfw(opts: Options, enc, rec, ocl_num: int, cfg, score_fn=None):
+    """(acc_new, acc) at the given occlusion count (train.py:101-113)."""
+    batches = make_eval_batches(opts, ocl_num, opts.batch_size)
+    res_new, res_raw = evaluate_pairs(enc[0], enc[1], rec[0], rec[1], batches,
+                                      cfg=cfg.recnet, score_fn=score_fn)
+    return float(res_new.mean_accuracy), float(res_raw.mean_accuracy)
+
+
+def train(opts: Options) -> None:
+    logger = Logger(opts.log_dir, opts.save_weight_dir, phase="train")
+    timer = Timer()
+    cfg = opts.trainer_config()
+
+    dataset = make_train_dataset(opts)
+    enc_params, enc_state = load_encoder(opts)
+
+    state = create_train_state(jax.random.PRNGKey(opts.seed), cfg)
+    start_epoch, start_iter = 0, 0
+    if opts.continue_train:
+        from ffrnet_tpu.checkpoint.store import restore_opt_state
+
+        params, model_state, opt_leaves, meta = load_checkpoint(
+            opts.ckpt_dir, opts.which_file)
+        tx_state = (state.opt_state if opt_leaves is None
+                    else restore_opt_state(state.opt_state, opt_leaves))
+        state = TrainState(params, model_state, tx_state,
+                           jnp.asarray(meta["iter"], jnp.int32))
+        start_epoch, start_iter = meta["epoch"], meta["iter"]
+    elif opts.recnet_weights:
+        payload = load_pth(opts.recnet_weights)
+        sd = payload.get("RecNet", payload)
+        params, model_state = recnet_from_torch(sd)
+        state = TrainState(params, model_state, state.opt_state, state.step)
+
+    mesh = make_mesh(n_data=opts.mesh_data or None, n_model=opts.mesh_model)
+    step, (enc_params, enc_state, state) = make_distributed_step(
+        mesh, cfg, enc_params, enc_state, state)
+    bshard = batch_sharding(mesh)
+    loader = BatchLoader(dataset, opts.batch_size, shuffle=not opts.debug,
+                         drop_last=not opts.debug, seed=opts.seed,
+                         num_threads=opts.n_thread,
+                         sharding={"img_non": bshard, "img_ocl": bshard,
+                                   "label": bshard})
+
+    logger.record_text("model_config", opts.config_string)
+    cur_iters = start_iter
+    total_iters = opts.total_epochs * len(loader)
+    score_fn = make_pair_score_fn(cfg.recnet)
+
+    for epoch in range(start_epoch, opts.total_epochs):
+        for i, batch in enumerate(loader.epoch(epoch)):
+            if epoch == start_epoch and i < start_iter:
+                continue
+            cur_iters += 1
+            logger.set_current_iter(cur_iters, epoch)
+            timer.update_time("DataTime")
+
+            state, metrics = step(enc_params, enc_state, state, batch)
+            timer.update_time("Step")
+
+            values = {k: f"{float(v):.4f}" for k, v in metrics.items()
+                      if k != "LR"}
+            logger.record_scalar(values, "train_values")
+            logger.print_scalar({"LR": f"{float(metrics['LR']):.6f}"})
+
+            if cur_iters % opts.print_freq == 0:
+                print(f"Model Configuration: {opts.save_weight_dir}")
+                logger.print_iter_summary(total_iters, opts.total_epochs, timer)
+
+            if cur_iters % opts.save_freq == 0:
+                name = "debug" if opts.debug else f"{cur_iters:07d}"
+                save_checkpoint(opts.ckpt_dir, name, params=state.params,
+                                model_state=state.model_state,
+                                opt_state=state.opt_state,
+                                epoch=epoch, iteration=cur_iters)
+            if cur_iters % max(opts.save_freq // 10, 1) == 0:
+                save_checkpoint(opts.ckpt_dir, "latest", params=state.params,
+                                model_state=state.model_state,
+                                opt_state=state.opt_state,
+                                epoch=epoch, iteration=cur_iters)
+
+            if opts.eval_freq and cur_iters % opts.eval_freq == 0 and opts.test_data:
+                rec = (state.params, state.model_state)
+                enc = (enc_params, enc_state)
+                for ocl in range(1 if opts.debug else 3):
+                    acc_new, acc = eval_lfw(opts, enc, rec, ocl, cfg, score_fn)
+                    logger.record_scalar({"acc": acc}, f"test_acc/ocl{ocl}")
+                    logger.record_scalar({"acc_new": acc_new}, f"test_acc/ocl{ocl}")
+                    print(f"test result ocl{ocl}: acc_new {acc_new:.4f} "
+                          f"acc {acc:.4f}")
+            if opts.debug:
+                break
+    logger.close()
+
+
+def test(opts: Options) -> None:
+    logger = Logger(opts.log_dir, opts.save_weight_dir, phase="test")
+    cfg = opts.trainer_config()
+    enc_params, enc_state = load_encoder(opts)
+    if opts.recnet_weights:
+        payload = load_pth(opts.recnet_weights)
+        params, model_state = recnet_from_torch(payload.get("RecNet", payload))
+    else:
+        params, model_state, _, _ = load_checkpoint(opts.ckpt_dir,
+                                                    opts.which_file)
+    logger.set_current_iter(0, 0)
+    score_fn = make_pair_score_fn(cfg.recnet)
+    for ocl in range(3):
+        acc_new, acc = eval_lfw(opts, (enc_params, enc_state),
+                                (params, model_state), ocl, cfg, score_fn)
+        logger.record_scalar({"acc": acc}, f"test_acc/ocl{ocl}")
+        logger.record_scalar({"acc_new": acc_new}, f"test_acc_new/ocl{ocl}")
+        print(f"test result ocl{ocl}: acc_new {acc_new:.4f} acc {acc:.4f}")
+    logger.close()
+
+
+def main(argv=None):
+    opts = parse_args(argv)
+    np.random.seed(opts.seed)
+    if opts.phase == "train":
+        train(opts)
+    else:
+        test(opts)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Data protocol tests: pairs.txt parsing, mask-twin resolution, transforms,
+loader sharding/determinism."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ffrnet_tpu.data.datasets import (
+    CasiaPairs, LfwPairs, SyntheticPairs, _listdir_cached, find_mask_twin,
+    parse_pairs_txt)
+from ffrnet_tpu.data.pipeline import BatchLoader
+
+
+@pytest.fixture
+def lfw_tree(tmp_path):
+    """Tiny LFW-style tree with masked twins and a pairs.txt."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "lfw"
+    names = ["Alice_A", "Bob_B"]
+    for name in names:
+        d = root / name
+        d.mkdir(parents=True)
+        for i in (1, 2):
+            arr = rng.integers(0, 255, (112, 112, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{name}_{i:04}.jpg")
+            # masked twin: numeric-prefix match, different name
+            Image.fromarray(arr // 2).save(d / f"{name}_{i:04}_surgical.jpg")
+    pairs = root / "pairs.txt"
+    pairs.write_text(
+        "2\n"
+        "Alice_A\t1\t2\n"            # same pair
+        "Alice_A\t1\tBob_B\t2\n"     # diff pair
+    )
+    return root, pairs
+
+
+def test_parse_pairs_txt(lfw_tree):
+    root, pairs = lfw_tree
+    names, labels = parse_pairs_txt(str(pairs))
+    assert names == [("Alice_A/Alice_A_0001.jpg", "Alice_A/Alice_A_0002.jpg"),
+                     ("Alice_A/Alice_A_0001.jpg", "Bob_B/Bob_B_0002.jpg")]
+    assert labels == [1, 0]
+
+
+def test_find_mask_twin(lfw_tree):
+    root, _ = lfw_tree
+    _listdir_cached.cache_clear()
+    twin = find_mask_twin(str(root), "Alice_A/Alice_A_0001.jpg")
+    assert twin == os.path.join("Alice_A", "Alice_A_0001_surgical.jpg")
+    # the reference's prefix scan is one-directional: the masked file's stem
+    # is no prefix of the clean file, so no twin is found (get_mask_path,
+    # data/dataset.py:15-22)
+    assert find_mask_twin(str(root), "Alice_A/Alice_A_0001_surgical.jpg") is None
+
+
+def test_lfw_pairs_ocl_substitution(lfw_tree):
+    root, pairs = lfw_tree
+    _listdir_cached.cache_clear()
+    rng = np.random.default_rng(0)
+    ds0 = LfwPairs(str(root), str(pairs), test_ocl_num=0, flip_prob=0.0)
+    ds1 = LfwPairs(str(root), str(pairs), test_ocl_num=1, flip_prob=0.0)
+    ds2 = LfwPairs(str(root), str(pairs), test_ocl_num=2, flip_prob=0.0)
+    s0, s1, s2 = ds0.get(0, rng), ds1.get(0, rng), ds2.get(0, rng)
+    # ocl1 swaps img1 for its masked twin (pixel values halved)
+    assert not np.allclose(s0["img1"], s1["img1"])
+    np.testing.assert_allclose(s0["img2"], s1["img2"])
+    assert not np.allclose(s1["img2"], s2["img2"])
+    assert s0["label"] == 1 and s0["img1"].shape == (112, 112, 3)
+    assert s0["img1"].min() >= -1.0 and s0["img1"].max() <= 1.0
+
+
+def test_casia_pairs_bgr_and_flip(lfw_tree, tmp_path):
+    root, _ = lfw_tree
+    _listdir_cached.cache_clear()
+    lst = tmp_path / "list.txt"
+    lst.write_text("Alice_A/Alice_A_0001.jpg 0\nBob_B/Bob_B_0002.jpg 1\n")
+    ds = CasiaPairs(str(root), str(lst), flip_prob=0.0)
+    s = ds.get(0, np.random.default_rng(0))
+    assert s["img_non"].shape == (112, 112, 3) and s["label"] == 0
+
+    # BGR: reconstruct expected from PIL RGB
+    from PIL import Image
+
+    rgb = np.asarray(Image.open(root / "Alice_A/Alice_A_0001.jpg").convert("RGB"))
+    expected = (rgb[:, :, ::-1].astype(np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(s["img_non"], expected, atol=1e-6)
+
+    # paired flip: with flip_prob=1 both images flip together
+    ds_flip = CasiaPairs(str(root), str(lst), flip_prob=1.0)
+    sf = ds_flip.get(0, np.random.default_rng(0))
+    np.testing.assert_allclose(sf["img_non"], s["img_non"][:, ::-1], atol=1e-6)
+
+
+def test_batch_loader_sharding_and_determinism():
+    ds = SyntheticPairs(num_identities=8, samples_per_id=4)
+    full = BatchLoader(ds, 4, shuffle=True, seed=7, num_threads=2)
+    b0 = list(full.epoch(0))
+    b0_again = list(BatchLoader(ds, 4, shuffle=True, seed=7,
+                                num_threads=2).epoch(0))
+    assert len(b0) == 8
+    for a, b in zip(b0, b0_again):
+        np.testing.assert_array_equal(a["img_non"], b["img_non"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+
+    # two-host split covers the whole (shuffled) stream disjointly
+    h0 = BatchLoader(ds, 4, shuffle=True, seed=7, process_index=0,
+                     process_count=2)
+    h1 = BatchLoader(ds, 4, shuffle=True, seed=7, process_index=1,
+                     process_count=2)
+    l0 = np.concatenate([b["label"] for b in h0.epoch(0)])
+    l1 = np.concatenate([b["label"] for b in h1.epoch(0)])
+    assert len(l0) == len(l1) == 16
+    # shuffle differs between epochs
+    e1 = list(full.epoch(1))
+    assert not all(np.array_equal(a["label"], b["label"])
+                   for a, b in zip(b0, e1))
+
+
+def test_config_roundtrip(tmp_path):
+    from ffrnet_tpu.config import parse_args
+
+    opts = parse_args([
+        "--phase", "train", "--batch_size", "32", "--optimizer", "adabound",
+        "--lr", "0.001", "--loss_weight", "1", "2", "3", "0.5",
+        "--weight_root", str(tmp_path), "--other", "unit"],
+        make_dirs=True)
+    assert opts.save_weight_dir == "model_FFR-Net-loss_sphere-unit"
+    assert (tmp_path / opts.save_weight_dir / "opt.txt").exists()
+    tc = opts.trainer_config()
+    assert tc.optimizer == "adabound" and tc.loss_weight == (1, 2, 3, 0.5)
+
+
+def test_checkpoint_store_roundtrip(tmp_path):
+    import jax
+
+    from ffrnet_tpu.checkpoint.store import (
+        load_checkpoint, resolve_latest, save_checkpoint)
+    from ffrnet_tpu.models import recnet
+
+    params, state = recnet.init(jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), "0000100", params=params, model_state=state,
+                    epoch=2, iteration=100)
+    save_checkpoint(str(tmp_path), "latest", params=params, model_state=state,
+                    epoch=2, iteration=110)
+    # 'latest' resolves to lexicographic max -> 'latest.pth.gzip' sorts after
+    # numbers (reference semantics, models/trainer.py:202-204)
+    assert resolve_latest(str(tmp_path)).endswith("latest.pth.gzip")
+    p2, s2, opt, meta = load_checkpoint(str(tmp_path), "latest")
+    assert meta == {"epoch": 2, "iter": 110}
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(np.array_equal(a, b)), params, p2))

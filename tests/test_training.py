@@ -1,0 +1,248 @@
+"""Training engine tests: optimizer parity vs torch, loss parity vs the
+reference formulas, end-to-end train-step smoke, multi-device pjit step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ffrnet_tpu.models import irse
+from ffrnet_tpu.models.recnet import RecNetConfig
+from ffrnet_tpu.training import losses, optimizers, schedules
+from ffrnet_tpu.training.trainer import (
+    TrainerConfig, create_train_state, make_distributed_step, train_step)
+
+torch = pytest.importorskip("torch")
+
+
+# ---------------------------------------------------------------------------
+# Optimizers
+# ---------------------------------------------------------------------------
+
+def _run_torch_opt(opt_ctor, w0, grads, **kw):
+    p = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = opt_ctor([p], **kw)
+    out = []
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.from_numpy(g.copy())
+        opt.step()
+        out.append(p.detach().numpy().copy())
+    return out
+
+
+def _run_ours(tx, w0, grads):
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    out = []
+    for g in grads:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        out.append(np.asarray(params["w"]).copy())
+    return out
+
+
+@pytest.fixture
+def grad_seq():
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    grads = [rng.standard_normal((4, 3)).astype(np.float32) for _ in range(6)]
+    return w0, grads
+
+
+def test_adam_matches_torch(grad_seq):
+    w0, grads = grad_seq
+    expected = _run_torch_opt(torch.optim.Adam, w0, grads, lr=1e-2,
+                              betas=(0.9, 0.999), weight_decay=5e-4)
+    ours = _run_ours(optimizers.adam(1e-2, weight_decay=5e-4), w0, grads)
+    for a, b in zip(ours, expected):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
+
+
+def test_sgd_matches_torch(grad_seq):
+    w0, grads = grad_seq
+    expected = _run_torch_opt(torch.optim.SGD, w0, grads, lr=1e-2,
+                              momentum=0.9, weight_decay=5e-4)
+    ours = _run_ours(optimizers.sgd(1e-2, momentum=0.9, weight_decay=5e-4),
+                     w0, grads)
+    for a, b in zip(ours, expected):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
+
+
+def test_rmsprop_matches_torch(grad_seq):
+    w0, grads = grad_seq
+    expected = _run_torch_opt(torch.optim.RMSprop, w0, grads, lr=1e-3,
+                              momentum=0.9, weight_decay=5e-4)
+    ours = _run_ours(optimizers.rmsprop(1e-3, momentum=0.9, weight_decay=5e-4),
+                     w0, grads)
+    for a, b in zip(ours, expected):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
+
+
+def test_adabound_matches_reference(grad_seq, reference):
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from utils.adabound import AdaBound as RefAdaBound
+
+    w0, grads = grad_seq
+    expected = _run_torch_opt(RefAdaBound, w0, grads, lr=1e-3,
+                              final_lr=0.1, betas=(0.9, 0.999),
+                              weight_decay=5e-4)
+    from ffrnet_tpu.training.adabound import adabound
+
+    ours = _run_ours(adabound(1e-3, final_lr=0.1, weight_decay=5e-4), w0, grads)
+    for i, (a, b) in enumerate(zip(ours, expected)):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5, err_msg=f"step {i}")
+
+
+def test_multistep_schedule_matches_torch():
+    lin = torch.nn.Linear(2, 2)
+    opt = torch.optim.SGD(lin.parameters(), lr=0.5)
+    sch = torch.optim.lr_scheduler.MultiStepLR(opt, [3, 6, 9], gamma=0.5)
+    ours = schedules.multistep_lr(0.5, [3, 6, 9], 0.5)
+    for c in range(12):
+        assert float(ours(c)) == pytest.approx(opt.param_groups[0]["lr"])
+        sch.step()
+
+
+def test_clip_value_composes():
+    tx = optimizers.make_optimizer("sgd", 1.0, momentum=0.0, clip_value=1.0)
+    params = {"w": jnp.zeros(3)}
+    updates, _ = tx.update({"w": jnp.asarray([5.0, -7.0, 0.5])},
+                           tx.init(params), params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), [-1.0, 1.0, -0.5])
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def test_triplet_matches_reference(reference):
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from models.trainer import TripletLoss
+
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((8, 512)).astype(np.float32)
+    p = rng.standard_normal((8, 512)).astype(np.float32)
+    n = rng.standard_normal((8, 512)).astype(np.float32)
+    with torch.no_grad():
+        exp_loss, exp_pos, exp_neg = TripletLoss()(
+            torch.from_numpy(a), torch.from_numpy(p), torch.from_numpy(n))
+    loss, pos, neg = losses.triplet_cosine(
+        jnp.asarray(a), jnp.asarray(p), jnp.asarray(n))
+    np.testing.assert_allclose(float(loss), float(exp_loss), atol=1e-6)
+    np.testing.assert_allclose(float(pos), float(exp_pos), atol=1e-6)
+    np.testing.assert_allclose(float(neg), float(exp_neg), atol=1e-6)
+
+
+def test_cross_entropy_matches_torch():
+    rng = np.random.default_rng(2)
+    logits = rng.standard_normal((6, 20)).astype(np.float32) * 5
+    labels = rng.integers(0, 20, 6)
+    expected = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(labels)).item()
+    ours = float(losses.cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    assert ours == pytest.approx(expected, abs=1e-5)
+
+
+def test_ce_weight_cancel_quirk():
+    """items[3] = (ce_non/(1e-8+w3) + ce_ocl) * w3 — clean-branch CE weight
+    cancels (models/trainer.py:173-178)."""
+    from ffrnet_tpu.models.recnet import RecNetTrainOut
+
+    rng = np.random.default_rng(3)
+    n, c = 4, 16
+    fm = jnp.asarray(rng.standard_normal((n, 7, 7, 512)).astype(np.float32))
+    emb = jnp.asarray(rng.standard_normal((n, 512)).astype(np.float32))
+
+    def fake_out(seed):
+        r = np.random.default_rng(seed)
+        return RecNetTrainOut(
+            feat_new_v=jnp.asarray(r.standard_normal((n, 512)).astype(np.float32)),
+            logits=jnp.asarray(r.standard_normal((n, c)).astype(np.float32)),
+            cosine=jnp.asarray(r.standard_normal((n, c)).astype(np.float32)),
+            m_space=jnp.zeros((n, 49, 49)), m_channel=jnp.zeros((n, 512, 512)),
+            feat_space=fm, feat_channel=fm)
+
+    labels = jnp.asarray(rng.integers(0, c, n))
+    out_non, out_ocl = fake_out(10), fake_out(11)
+    kw = dict(featmap_non=fm, embed_non=emb, embed_ocl=emb,
+              out_non=out_non, out_ocl=out_ocl, labels=labels)
+
+    w3 = 0.25
+    lb = losses.ffrnet_objective(loss_weight=(1, 1, 1, w3), **kw)
+    ce_non = float(losses.cross_entropy(out_non.logits, labels))
+    ce_ocl = float(losses.cross_entropy(out_ocl.logits, labels))
+    expected = (ce_non / (1e-8 + w3) + ce_ocl) * w3
+    assert float(lb.classifier) == pytest.approx(expected, rel=1e-5)
+
+    lb_fixed = losses.ffrnet_objective(loss_weight=(1, 1, 1, w3),
+                                       faithful_ce_weight=False, **kw)
+    assert float(lb_fixed.classifier) == pytest.approx((ce_non + ce_ocl) * w3,
+                                                       rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end train step
+# ---------------------------------------------------------------------------
+
+def _tiny_setup(num_classes=32, batch=2):
+    key = jax.random.PRNGKey(0)
+    enc_p, enc_s = irse.init(key)
+    cfg = TrainerConfig(
+        optimizer="adam", lr=1e-3,
+        recnet=RecNetConfig(num_classes=num_classes))
+    state = create_train_state(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "img_non": jnp.asarray(
+            rng.uniform(-1, 1, (batch, 112, 112, 3)).astype(np.float32)),
+        "img_ocl": jnp.asarray(
+            rng.uniform(-1, 1, (batch, 112, 112, 3)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, num_classes, batch)),
+    }
+    return enc_p, enc_s, cfg, state, batch_data
+
+
+@pytest.mark.slow
+def test_train_step_smoke():
+    enc_p, enc_s, cfg, state, batch = _tiny_setup()
+    import functools
+
+    step = jax.jit(functools.partial(train_step, cfg=cfg))
+    losses_seen = []
+    for _ in range(3):
+        state, metrics = step(enc_p, enc_s, state, batch)
+        losses_seen.append(float(metrics["TotalLoss"]))
+        assert np.isfinite(losses_seen[-1])
+    assert int(state.step) == 3
+    # same batch repeated: the objective must go down
+    assert losses_seen[-1] < losses_seen[0]
+    assert float(metrics["LR"]) == pytest.approx(1e-3)
+
+
+@pytest.mark.slow
+def test_distributed_train_step_dp_tp():
+    from ffrnet_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=4, n_model=2)
+    enc_p, enc_s, cfg, state, batch = _tiny_setup(batch=8)
+    step, (enc_p, enc_s, state) = make_distributed_step(
+        mesh, cfg, enc_p, enc_s, state)
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    state, metrics = step(enc_p, enc_s, state, batch)
+    assert np.isfinite(float(metrics["TotalLoss"]))
+    # classifier weight is actually sharded over 'model'
+    w = state.params["classifier"]["w"]
+    assert len(w.sharding.device_set) == 8
+    state, metrics2 = step(enc_p, enc_s, state, batch)
+    assert np.isfinite(float(metrics2["TotalLoss"]))
+    assert int(state.step) == 2
