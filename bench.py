@@ -129,12 +129,17 @@ def main():
         enc_params, enc_state = cast(enc_params), cast(enc_state)
         rec_params, rec_state = cast(rec_params), cast(rec_state)
 
+    # Two jitted stages (align | model): smaller XLA programs compile far
+    # faster through the remote-compile service than one fused program.
     @jax.jit
-    def pipeline(enc_p, enc_s, rec_p, rec_s, raw, landmarks):
+    def align_fn(raw, landmarks):
         ref = jnp.broadcast_to(jnp.asarray(ARCFACE_REF_PTS), landmarks.shape)
         mats = cv2_transform(landmarks, ref)
         aligned = warp_affine_mxu(raw, mats, out_hw=(112, 112))
-        x = (aligned.astype(dtype) / 127.5) - 1.0
+        return (aligned.astype(dtype) / 127.5) - 1.0
+
+    @jax.jit
+    def model_fn(enc_p, enc_s, rec_p, rec_s, x):
         featmap, embed, _ = irse.apply(enc_p, enc_s, x, training=False)
         (feat_v, _), _ = recnet.apply(rec_p, rec_s, featmap, cfg=cfg,
                                       training=False)
@@ -144,8 +149,15 @@ def main():
         token = jnp.sum(scores) * jnp.float32(1e-20)
         return embed, feat_v, scores, token
 
+    def pipeline(enc_p, enc_s, rec_p, rec_s, raw, landmarks):
+        return model_fn(enc_p, enc_s, rec_p, rec_s, align_fn(raw, landmarks))
+
+    def _mark(msg, t0):
+        print(f"[bench] {msg} {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+
     rng = np.random.default_rng(0)
-    raw = jnp.asarray(rng.uniform(0, 255, (BATCH, 250, 250, 3)).astype(np.float32))
+    raw = jnp.asarray(rng.uniform(0, 255, (BATCH, 250, 250, 3)).astype(np.float32)).astype(dtype)
     lmk = jnp.asarray(
         (ARCFACE_REF_PTS[None] + rng.normal(0, 2, (BATCH, 5, 2)) + 60
          ).astype(np.float32))
@@ -161,11 +173,21 @@ def main():
         t0 = time.perf_counter()
         for _ in range(n_iters):
             _, _, _, token = pipeline(enc_params, enc_state, rec_params,
-                                      rec_state, raw + token, lmk)
+                                      rec_state, raw + token.astype(raw.dtype),
+                                      lmk)
         float(jax.device_get(token))
         return time.perf_counter() - t0
 
-    run_chain(WARMUP)  # compile + warm
+    t0 = time.perf_counter()
+    x0 = align_fn(raw, lmk)
+    _mark("align_fn dispatched", t0)
+    float(jax.device_get(jnp.sum(x0.astype(jnp.float32))))
+    _mark("align_fn compiled+ran", t0)
+    out0 = model_fn(enc_params, enc_state, rec_params, rec_state, x0)
+    float(jax.device_get(out0[3]))
+    _mark("model_fn compiled+ran", t0)
+    run_chain(WARMUP)  # warm
+    _mark("warmup done", t0)
     t_short = run_chain(2)
     t_long = run_chain(2 + ITERS)
     # slope removes the constant RTT + dispatch overhead

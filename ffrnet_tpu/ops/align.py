@@ -152,7 +152,7 @@ def _invert_2x3(m):
 
 
 @partial(jax.jit, static_argnames=("out_hw", "block"))
-def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 2048):
+def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 1792):
     """Gather-free bilinear affine warp that runs on the MXU.
 
     TPUs do dense math fast and random gathers slowly. Bilinear weights
@@ -186,21 +186,33 @@ def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 2048):
     src = jnp.pad(src, ((0, 0), (0, pad), (0, 0)))
     src_blocks = src.reshape(n, -1, block, 2).transpose(1, 0, 2, 3)
 
-    y_grid = jnp.arange(h, dtype=jnp.float32)
-    x_grid = jnp.arange(w, dtype=jnp.float32)
-    img_flat = imgs.reshape(n, h, w * c)
+    # Pad source dims to lane multiples — unaligned K/N tile badly on the
+    # MXU. Padded rows/cols are zero pixels, which matches the zero border
+    # (weights beyond the original extent hit zero-valued pixels).
+    h_pad = -h % 128
+    w_pad = -w % 128
+    if h_pad or w_pad:
+        imgs = jnp.pad(imgs, ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+    hp, wp = h + h_pad, w + w_pad
+    y_grid = jnp.arange(hp, dtype=jnp.float32)
+    x_grid = jnp.arange(wp, dtype=jnp.float32)
+    img_flat = imgs.reshape(n, hp, wp * c)
+    h, w = hp, wp
 
     def one_block(src_b):  # (N, block, 2)
         sx, sy = src_b[..., 0], src_b[..., 1]
         wy = jax.nn.relu(1.0 - jnp.abs(y_grid[None, None, :] - sy[..., None]))
-        # (N, block, H) @ (N, H, W*C) -> (N, block, W*C)
-        t = jnp.einsum("npy,nyf->npf", wy, img_flat,
+        # matmul in the image dtype (bf16 images -> full MXU rate), fp32 accum
+        t = jnp.einsum("npy,nyf->npf", wy.astype(imgs.dtype), img_flat,
                        preferred_element_type=jnp.float32)
-        t = t.reshape(n, block, w, c)
+        # keep the big (N, block, W, C) intermediate in the image dtype —
+        # this stage is HBM-bandwidth-bound
+        t = t.astype(imgs.dtype).reshape(n, block, w, c)
         wx = jax.nn.relu(1.0 - jnp.abs(x_grid[None, None, :] - sx[..., None]))
         # broadcast-mul + reduce (fuses on the VPU; an einsum here would
         # lower to n*block tiny batched dots and tile pathologically)
-        return jnp.sum(wx[..., None] * t, axis=2)
+        return jnp.sum(wx.astype(imgs.dtype)[..., None] * t, axis=2,
+                       dtype=jnp.float32)
 
     out = jax.lax.map(one_block, src_blocks)  # (nblk, N, block, C)
     out = out.transpose(1, 0, 2, 3).reshape(n, p_total + pad, c)[:, :p_total]

@@ -1,0 +1,97 @@
+"""Driver-level tests: synthetic LFW tree -> test() eval path end-to-end,
+on a tiny encoder so the 1-core CPU suite stays fast."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture
+def lfw_tree(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "lfw"
+    pairs_lines = ["600\n"]
+    # 6 identities x 2 images, 30 pairs cycled to n=60 for a 10-fold run
+    names = [f"Person_{i}" for i in range(6)]
+    for name in names:
+        d = root / name
+        d.mkdir(parents=True)
+        base = rng.integers(0, 255, (112, 112, 3), dtype=np.uint8)
+        for i in (1, 2):
+            img = np.clip(base + rng.integers(-10, 10, base.shape), 0,
+                          255).astype(np.uint8)
+            Image.fromarray(img).save(d / f"{name}_{i:04}.jpg")
+            Image.fromarray(img // 3).save(d / f"{name}_{i:04}_m.jpg")
+    for k in range(30):
+        i = k % 6
+        pairs_lines.append(f"Person_{i}\t1\t2\n")  # same
+        j, l = k % 6, (k + 1) % 6
+        pairs_lines.append(f"Person_{j}\t1\tPerson_{l}\t2\n")  # diff
+    pairs = root / "pairs.txt"
+    pairs.write_text("".join(pairs_lines))
+    return root, pairs
+
+
+def test_eval_pairs_protocol_runs(lfw_tree):
+    """evaluate_pairs over a real (tiny) LFW tree with ocl substitution."""
+    from ffrnet_tpu.data.datasets import LfwPairs, _listdir_cached
+    from ffrnet_tpu.data.pipeline import BatchLoader
+    from ffrnet_tpu.eval.lfw import kfold_verification, pair_cosine
+    from ffrnet_tpu.models import irse
+
+    _listdir_cached.cache_clear()
+    root, pairs = lfw_tree
+    ds = LfwPairs(str(root), str(pairs), test_ocl_num=1, flip_prob=0.0)
+    assert len(ds) == 60
+    loader = BatchLoader(ds, 20, shuffle=False, drop_last=False,
+                         num_threads=2)
+
+    # Tiny stand-in embedder (mean-pooled pixels) to keep CPU time sane;
+    # the full-model path is covered by the slow train-step tests.
+    scores, labels = [], []
+    for batch in loader.epoch(0):
+        f1 = batch["img1"].reshape(batch["img1"].shape[0], -1, 3).mean(1)
+        f2 = batch["img2"].reshape(batch["img2"].shape[0], -1, 3).mean(1)
+        scores.append(np.asarray(pair_cosine(jnp.asarray(f1), jnp.asarray(f2))))
+        labels.append(batch["label"])
+    scores = jnp.asarray(np.concatenate(scores))
+    labels = jnp.asarray(np.concatenate(labels))
+    res = kfold_verification(scores, labels, n_folds=10)
+    assert np.isfinite(float(res.mean_accuracy))
+    assert res.fold_accuracies.shape == (10,)
+
+
+def test_options_flag_surface_matches_reference_names():
+    """The public CLI flags the reference exposes must parse here too
+    (utils/options.py:14-75 — TPU-meaningless GPU flags excluded)."""
+    from ffrnet_tpu.config import parse_args
+
+    opts = parse_args([
+        "--phase", "test", "--batch_size", "16", "--total_epochs", "3",
+        "--model_name", "FFR-Net", "--optimizer", "Adam", "--lr", "0.1",
+        "--beta1", "0.9", "--momentum", "0.9", "--weight_decay", "0",
+        "--loss_weight", "1", "1", "1", "1", "--print_freq", "100",
+        "--save_freq", "4000", "--eval_freq", "1000", "--continue_train", "0",
+        "--which_file", "latest", "--other", "train", "--debug", "0",
+        "--train_data", "x", "--seed", "5", "--nThread", "2",
+    ], make_dirs=False)
+    assert opts.phase == "test" and opts.which_file == "latest"
+    assert opts.n_thread == 2 and opts.seed == 5
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*jax.tree.map(
+        lambda x: (jnp.zeros_like(x) if hasattr(x, "shape") else x), args))
+    embed, feat_v, feat_new = out
+    assert embed.shape == (8, 512)
+    assert feat_v.shape == (8, 512)
+    assert feat_new.shape == (8, 7, 7, 512)

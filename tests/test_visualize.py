@@ -1,0 +1,67 @@
+"""Visualization + logger + timer smoke/shape tests."""
+
+import numpy as np
+
+from ffrnet_tpu.utils.image import batch_numpy_to_image, normalization
+from ffrnet_tpu.utils.logger import Logger
+from ffrnet_tpu.utils.timer import Timer
+
+
+def test_normalization_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    maps = rng.standard_normal((4, 9, 9))
+    out = normalization(maps)
+    assert out.min() >= 0 and out.max() <= 1
+    for i in range(4):
+        expected = (maps[i] - maps[i].min()) / (maps[i].max() - maps[i].min())
+        np.testing.assert_allclose(out[i], expected)
+
+
+def test_batch_numpy_to_image_shapes():
+    rng = np.random.default_rng(1)
+    arr = rng.uniform(0, 255, (3, 1, 7, 7))
+    out = batch_numpy_to_image(arr, size=(112, 112))
+    assert out.shape == (3, 112, 112, 3)
+    assert out.min() >= 0 and out.max() <= 255
+
+
+def test_attention_panel():
+    from ffrnet_tpu.eval.visualize import attention_panel
+
+    rng = np.random.default_rng(2)
+    n = 3
+    imgs = rng.uniform(-1, 1, (n, 112, 112, 3)).astype(np.float32)
+    m_space = rng.uniform(0, 1, (n, 49, 49)).astype(np.float32)
+    m_channel = rng.uniform(0, 1, (n, 512, 512)).astype(np.float32)
+    fm = rng.standard_normal((n, 7, 7, 512)).astype(np.float32)
+    panel = attention_panel(imgs, m_space, m_channel, fm, n_rows=2)
+    assert panel.shape == (2 * 112, 4 * 112, 3)
+    assert panel.dtype == np.uint8
+
+
+def test_logger_scalars_and_json(tmp_path):
+    logger = Logger(str(tmp_path), "run1")
+    logger.set_current_iter(1, 0)
+    logger.record_scalar({"loss": 1.5}, "train")
+    logger.set_current_iter(2, 0)
+    logger.record_scalar({"loss": 1.2}, "train")
+    timer = Timer()
+    timer.update_time("DataTime")
+    timer.update_time("Step")
+    msg = logger.print_iter_summary(10, 1, timer)
+    assert "loss" in msg
+    logger.close()
+    import json
+    import os
+
+    data = json.load(open(os.path.join(logger.log_dir, "all_scalars.json")))
+    assert data["train/loss"]["values"] == [1.5, 1.2]
+    assert os.path.exists(os.path.join(logger.log_dir, "log_train"))
+
+
+def test_maybe_trace_noop():
+    from ffrnet_tpu.utils.profiling import annotate, maybe_trace
+
+    with maybe_trace(None):
+        with annotate("x"):
+            pass
