@@ -201,6 +201,24 @@ class MaskVerificationPairs:
         }
 
 
+def gen_occlusion_mask(rng: np.random.Generator, img_hw: Tuple[int, int],
+                       mask_hw: Tuple[int, int]) -> np.ndarray:
+    """Random rectangular occlusion mask (1 = keep, 0 = occluded).
+
+    Rebuild of the reference's gen_occlusion_mask (lfw/lfw_eval.py:66-72)
+    with its bugs fixed: the reference indexes with swapped extents and
+    references an undefined MASK_SIZE global (lfw/lfw_eval.py:95); here the
+    rectangle is mask_hw = (mh, mw) placed uniformly inside img_hw.
+    """
+    h, w = img_hw
+    mh, mw = mask_hw
+    mask = np.ones((h, w, 1), np.float32)
+    y = int(rng.integers(0, max(h - mh, 1)))
+    x = int(rng.integers(0, max(w - mw, 1)))
+    mask[y:y + mh, x:x + mw] = 0.0
+    return mask
+
+
 @dataclass
 class SyntheticPairs:
     """Procedural identity dataset for smoke tests / benches: each identity

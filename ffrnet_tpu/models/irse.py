@@ -164,7 +164,9 @@ def _se(params, x):
 def _apply_unit(params, state, x, stride, mode, training):
     new_state: Dict[str, Any] = {}
     if "shortcut" in params:
-        sc = ops.conv2d(x, params["shortcut"]["conv"]["w"], stride=stride, padding=0)
+        sc = ops.conv2d(x, params["shortcut"]["conv"]["w"],
+                        params["shortcut"]["conv"].get("b"),
+                        stride=stride, padding=0)
         sc, bn_s = _bn(params["shortcut"]["bn"], state["shortcut"]["bn"], sc, training)
         new_state["shortcut"] = {"bn": bn_s}
     else:
@@ -172,9 +174,10 @@ def _apply_unit(params, state, x, stride, mode, training):
 
     r = params["res"]
     y, bn1_s = _bn(r["bn1"], state["res"]["bn1"], x, training)
-    y = ops.conv2d(y, r["conv1"]["w"], stride=1, padding=1)
+    y = ops.conv2d(y, r["conv1"]["w"], r["conv1"].get("b"), stride=1, padding=1)
     y = ops.prelu(y, r["prelu"]["slope"], axis=-1)
-    y = ops.conv2d(y, r["conv2"]["w"], stride=stride, padding=1)
+    y = ops.conv2d(y, r["conv2"]["w"], r["conv2"].get("b"), stride=stride,
+                   padding=1)
     y, bn2_s = _bn(r["bn2"], state["res"]["bn2"], y, training)
     if mode == "ir_se":
         y = _se(r["se"], y)
@@ -194,7 +197,8 @@ def apply(params, state, x, *, num_layers: int = 50, mode: str = "ir_se",
     units = unit_configs(num_layers)
     new_state: Dict[str, Any] = {}
 
-    y = ops.conv2d(x, params["input"]["conv"]["w"], stride=1, padding=1)
+    y = ops.conv2d(x, params["input"]["conv"]["w"],
+                   params["input"]["conv"].get("b"), stride=1, padding=1)
     y, bn_s = _bn(params["input"]["bn"], state["input"]["bn"], y, training)
     y = ops.prelu(y, params["input"]["prelu"]["slope"], axis=-1)
     new_state["input"] = {"bn": bn_s}

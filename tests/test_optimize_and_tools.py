@@ -1,0 +1,101 @@
+"""BN folding equivalence, launcher args, occlusion mask, orbax roundtrip,
+offline align tool."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ffrnet_tpu.models import irse
+from ffrnet_tpu.models.optimize import fold_backbone_bn
+
+
+def test_fold_backbone_bn_equivalent():
+    key = jax.random.PRNGKey(0)
+    params, state = irse.init(key)
+    # non-trivial BN stats
+    def randomize_bn(tree, rng):
+        if isinstance(tree, dict):
+            if set(tree) == {"mean", "var"}:
+                tree["mean"] = jnp.asarray(
+                    rng.normal(0, 0.5, tree["mean"].shape).astype(np.float32))
+                tree["var"] = jnp.asarray(
+                    rng.uniform(0.5, 1.5, tree["var"].shape).astype(np.float32))
+            else:
+                for v in tree.values():
+                    randomize_bn(v, rng)
+        elif isinstance(tree, list):
+            for v in tree:
+                randomize_bn(v, rng)
+
+    rng = np.random.default_rng(0)
+    randomize_bn(state, rng)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 112, 112, 3)).astype(np.float32))
+    fm1, e1, _ = irse.apply(params, state, x)
+    fp, fs = fold_backbone_bn(params, state)
+    fm2, e2, _ = irse.apply(fp, fs, x)
+    np.testing.assert_allclose(np.asarray(fm1), np.asarray(fm2),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
+                               atol=5e-5, rtol=1e-3)
+
+
+def test_run_launcher_args():
+    from ffrnet_tpu.run import build_args
+
+    args = build_args(debug=False)
+    assert "--optimizer" in args and args[args.index("--optimizer") + 1] == "Adam"
+    assert args[args.index("--lr") + 1] == "0.1"
+    assert args[args.index("--batch_size") + 1] == "64"
+    dbg = build_args(debug=True)
+    assert dbg[dbg.index("--batch_size") + 1] == "32"
+    assert dbg[dbg.index("--debug") + 1] == "1"
+
+
+def test_gen_occlusion_mask():
+    from ffrnet_tpu.data.datasets import gen_occlusion_mask
+
+    rng = np.random.default_rng(0)
+    m = gen_occlusion_mask(rng, (112, 96), (30, 40))
+    assert m.shape == (112, 96, 1)
+    assert (m == 0).sum() == 30 * 40
+    assert set(np.unique(m)) == {0.0, 1.0}
+
+
+def test_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from ffrnet_tpu.checkpoint.orbax_io import load_orbax, save_orbax
+
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "step": jnp.asarray(7)}
+    save_orbax(str(tmp_path), 7, state)
+    back = load_orbax(str(tmp_path))
+    np.testing.assert_array_equal(np.asarray(back["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    assert int(back["step"]) == 7
+
+
+def test_align_dataset_tool(tmp_path):
+    from PIL import Image
+
+    from ffrnet_tpu.tools.align_dataset import align_tree
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "images"
+    (src / "A_Person").mkdir(parents=True)
+    for i in (1, 2):
+        Image.fromarray(rng.integers(0, 255, (250, 250, 3), dtype=np.uint8)
+                        ).save(src / "A_Person" / f"A_Person_{i:04}.jpg")
+    lm = tmp_path / "landmarks.txt"
+    base = "\t".join(str(int(v)) for v in
+                     (np.array([[30, 52], [66, 52], [48, 72], [34, 92],
+                                [63, 92]]) + 60).ravel())
+    lm.write_text(
+        f"A_Person/A_Person_0001.jpg\t{base}\n"
+        f"A_Person/A_Person_0002.jpg\t{base}\n")
+    out = tmp_path / "aligned"
+    n = align_tree(str(src), str(lm), str(out), out_hw=(112, 96), batch=2)
+    assert n == 2
+    crop = np.asarray(Image.open(out / "A_Person" / "A_Person_0001.jpg"))
+    assert crop.shape == (112, 96, 3)
