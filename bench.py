@@ -123,6 +123,10 @@ def main():
     dtype = jnp.bfloat16 if DTYPE == "bf16" else jnp.float32
     cfg = RecNetConfig()
     enc_params, enc_state = irse.init(jax.random.PRNGKey(0))
+    if os.environ.get("FFRNET_BENCH_FOLD_BN", "1") == "1":
+        from ffrnet_tpu.models.optimize import fold_backbone_bn
+
+        enc_params, enc_state = fold_backbone_bn(enc_params, enc_state)
     rec_params, rec_state = recnet.init(jax.random.PRNGKey(1), cfg)
     if dtype != jnp.float32:
         cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)

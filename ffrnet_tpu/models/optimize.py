@@ -83,4 +83,7 @@ def fold_backbone_bn(params, state) -> Tuple[Any, Any]:
                                  state["output"]["bn1d"])
     params["output"]["linear"] = {"w": w, "b": b}
     params["output"]["bn1d"], state["output"]["bn1d"] = ip, is_
+    # return device arrays throughout (host leaves would re-upload per call)
+    params = jax.tree.map(jnp.asarray, params)
+    state = jax.tree.map(jnp.asarray, state)
     return params, state

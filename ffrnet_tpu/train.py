@@ -36,6 +36,25 @@ from ffrnet_tpu.utils.logger import Logger
 from ffrnet_tpu.utils.timer import Timer
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host initialization (jax.distributed) when launched under a
+    multi-process coordinator. Single-process runs skip this. Controlled by
+    the standard JAX env vars (COORDINATOR_ADDRESS / process ids) or
+    FFRNET_DISTRIBUTED=1 for auto-detection."""
+    import os
+
+    if os.environ.get("FFRNET_DISTRIBUTED") != "1" and \
+            "JAX_COORDINATOR_ADDRESS" not in os.environ:
+        return
+    try:
+        jax.distributed.initialize()
+        print(f"[dist] process {jax.process_index()}/{jax.process_count()} "
+              f"local devices: {jax.local_device_count()}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"[dist] initialize failed ({e}); continuing single-process",
+              file=sys.stderr)
+
+
 def load_encoder(opts: Options):
     """Frozen IR-SE50: imported from se50.pth when present, else random."""
     if opts.encoder_weights and os.path.exists(opts.encoder_weights):
@@ -125,6 +144,16 @@ def train(opts: Options) -> None:
             state, metrics = step(enc_params, enc_state, state, batch)
             timer.update_time("Step")
 
+            # failure detection: a non-finite loss means the step is
+            # poisoned — stop before it contaminates checkpoints (the
+            # reference had no such guard; recovery = --continue_train 1).
+            total = float(metrics["TotalLoss"])
+            if not np.isfinite(total):
+                logger.close()
+                raise FloatingPointError(
+                    f"non-finite loss at iter {cur_iters} (epoch {epoch}); "
+                    f"restart with --continue_train 1 --which_file latest")
+
             values = {k: f"{float(v):.4f}" for k, v in metrics.items()
                       if k != "LR"}
             logger.record_scalar(values, "train_values")
@@ -184,6 +213,7 @@ def test(opts: Options) -> None:
 def main(argv=None):
     opts = parse_args(argv)
     np.random.seed(opts.seed)
+    maybe_init_distributed()
     if opts.phase == "train":
         train(opts)
     else:
