@@ -1,0 +1,81 @@
+"""Training-step throughput benchmark (imgs/sec/chip).
+
+The reference never measured training throughput (only per-section seconds,
+utils/timer.py). This tool times the full jitted train step — two frozen
+encoder branches + RecNet fwd/bwd + 4-part loss + optimizer — with the
+relay-safe chained methodology from bench.py.
+
+    python -m ffrnet_tpu.tools.bench_train [--batch 128] [--iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--optimizer", type=str, default="adam")
+    p.add_argument("--num_classes", type=int, default=10575)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ffrnet_tpu.models import irse
+    from ffrnet_tpu.models.recnet import RecNetConfig
+    from ffrnet_tpu.training.trainer import (
+        TrainerConfig, create_train_state, train_step)
+
+    cfg = TrainerConfig(optimizer=args.optimizer, lr=1e-3,
+                        recnet=RecNetConfig(num_classes=args.num_classes))
+    enc_params, enc_state = irse.init(jax.random.PRNGKey(0))
+    state = create_train_state(jax.random.PRNGKey(1), cfg)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "img_non": jnp.asarray(rng.uniform(
+            -1, 1, (args.batch, 112, 112, 3)).astype(np.float32)),
+        "img_ocl": jnp.asarray(rng.uniform(
+            -1, 1, (args.batch, 112, 112, 3)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, args.num_classes, args.batch)),
+    }
+    step = jax.jit(functools.partial(train_step, cfg=cfg))
+
+    t0 = time.perf_counter()
+    state, metrics = step(enc_params, enc_state, state, batch)
+    float(jax.device_get(metrics["TotalLoss"]))
+    print(f"[bench_train] compile+first {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    def chain(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step(enc_params, enc_state, state, batch)
+        float(jax.device_get(metrics["TotalLoss"]))
+        return time.perf_counter() - t0
+
+    t_short = chain(2)
+    t_long = chain(2 + args.iters)
+    dt = max(t_long - t_short, 1e-9)
+    imgs_per_sec = args.batch * args.iters / dt
+    print(json.dumps({
+        "metric": "train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/s",
+        "batch": args.batch,
+        "step_ms": round(1e3 * dt / args.iters, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

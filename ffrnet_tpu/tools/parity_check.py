@@ -1,0 +1,144 @@
+"""Numerical-parity report against released PyTorch weights.
+
+Given the released `se50.pth` (frozen encoder) and optionally `FFRNet.pth`
+(RecNet), this tool:
+  1. imports the weights through the torch-free reader + converters,
+  2. runs both the PyTorch reference modules (if torch + /root/reference
+     are importable) and our JAX stack on identical random inputs,
+  3. reports max |diff| for the feature map, raw embedding and rectified
+     embedding (BASELINE.json requires fp32-tolerance equivalence),
+  4. optionally runs the full LFW verification when an aligned LFW tree is
+     given, reporting (acc, acc_new) at ocl 0/1/2.
+
+    python -m ffrnet_tpu.tools.parity_check --encoder se50.pth \
+        [--recnet FFRNet.pth] [--lfw_root DIR --pairs lfw_pairs.txt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def compare_with_torch(encoder_path, recnet_path, n: int = 4, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from ffrnet_tpu.checkpoint.pth_io import load_pth
+    from ffrnet_tpu.checkpoint.torch_convert import (
+        backbone_from_torch, recnet_from_torch)
+    from ffrnet_tpu.models import irse, recnet
+
+    report = {}
+    enc_sd = load_pth(encoder_path)
+    if "state_dict" in enc_sd:
+        enc_sd = enc_sd["state_dict"]
+    enc_p, enc_s = backbone_from_torch(enc_sd)
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, (n, 3, 112, 112)).astype(np.float32)
+    featmap, embed, _ = jax.jit(irse.apply)(
+        enc_p, enc_s, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    report["embed_norm"] = float(jnp.linalg.norm(embed[0]))
+
+    rec_out = None
+    if recnet_path:
+        payload = load_pth(recnet_path)
+        rec_p, rec_s = recnet_from_torch(payload.get("RecNet", payload))
+        (feat_v, _), _ = jax.jit(recnet.apply)(rec_p, rec_s, featmap)
+        rec_out = feat_v
+
+    # torch golden comparison when available
+    try:
+        import types
+
+        import torch
+
+        for name in ("torchvision",):
+            if name not in sys.modules:
+                try:
+                    __import__(name)
+                except ImportError:
+                    sys.modules[name] = types.ModuleType(name)
+        sys.path.insert(0, "/root/reference")
+        from pretrain.model_ir_se50 import Backbone
+
+        model = Backbone(50, 0.6, "ir_se")
+        model.load_state_dict(
+            {k: torch.from_numpy(np.asarray(v)) for k, v in enc_sd.items()})
+        model.eval()
+        with torch.no_grad():
+            fm_t, emb_t = model(torch.from_numpy(x))
+        report["featmap_max_diff"] = float(np.abs(
+            np.asarray(featmap).transpose(0, 3, 1, 2) - fm_t.numpy()).max())
+        report["embed_max_diff"] = float(np.abs(
+            np.asarray(embed) - emb_t.numpy()).max())
+        if recnet_path:
+            from models.recnet import RecNet
+
+            rn = RecNet()
+            payload = load_pth(recnet_path)
+            rn.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                                for k, v in payload.get("RecNet", payload).items()},
+                               strict=False)
+            rn.eval()
+            with torch.no_grad():
+                fv_t, _ = rn(fm_t)
+            report["rectified_max_diff"] = float(np.abs(
+                np.asarray(rec_out) - fv_t.numpy()).max())
+    except Exception as e:  # torch/reference unavailable
+        report["torch_comparison"] = f"skipped ({e})"
+    return report
+
+
+def run_lfw(encoder_path, recnet_path, lfw_root, pairs, batch_size=64):
+    import jax
+
+    from ffrnet_tpu.checkpoint.pth_io import load_pth
+    from ffrnet_tpu.checkpoint.torch_convert import (
+        backbone_from_torch, recnet_from_torch)
+    from ffrnet_tpu.data.datasets import LfwPairs
+    from ffrnet_tpu.data.pipeline import BatchLoader
+    from ffrnet_tpu.eval.runner import evaluate_pairs
+    from ffrnet_tpu.models import recnet as recnet_mod
+
+    enc_sd = load_pth(encoder_path)
+    enc_p, enc_s = backbone_from_torch(
+        enc_sd.get("state_dict", enc_sd) if isinstance(enc_sd, dict) else enc_sd)
+    if recnet_path:
+        payload = load_pth(recnet_path)
+        rec_p, rec_s = recnet_from_torch(payload.get("RecNet", payload))
+    else:
+        rec_p, rec_s = recnet_mod.init(jax.random.PRNGKey(0))
+
+    out = {}
+    for ocl in (0, 1, 2):
+        ds = LfwPairs(lfw_root, pairs, test_ocl_num=ocl, flip_prob=0.0)
+        loader = BatchLoader(ds, batch_size, shuffle=False, drop_last=False)
+        res_new, res_raw = evaluate_pairs(enc_p, enc_s, rec_p, rec_s,
+                                          loader.epoch(0))
+        out[f"ocl{ocl}"] = {"acc_new": float(res_new.mean_accuracy),
+                            "acc": float(res_raw.mean_accuracy)}
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--encoder", required=True)
+    p.add_argument("--recnet", default="")
+    p.add_argument("--lfw_root", default="")
+    p.add_argument("--pairs", default="")
+    args = p.parse_args(argv)
+
+    report = compare_with_torch(args.encoder, args.recnet)
+    if args.lfw_root and args.pairs:
+        report["lfw"] = run_lfw(args.encoder, args.recnet, args.lfw_root,
+                                args.pairs)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
