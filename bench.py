@@ -42,17 +42,10 @@ def _measure_torch_baseline() -> float:
     config[0]) + serial NumPy cp2tform alignment per face."""
     import torch
 
-    # the reference imports torchvision at module scope; stub if missing
-    import types
+    from ffrnet_tpu.utils.reference_compat import install_reference_stubs
 
-    for _name in ("torchvision", "torchvision.transforms",
-                  "torchvision.transforms.functional"):
-        if _name not in sys.modules:
-            try:
-                __import__(_name)
-            except ImportError:
-                sys.modules[_name] = types.ModuleType(_name)
-    sys.path.insert(0, "/root/reference")
+    if not install_reference_stubs():
+        raise RuntimeError("reference checkout not available")
     from lfw.matlab_cp2tform import get_similarity_transform_for_cv2
     from models.recnet import RecNet
     from pretrain.model_ir_se50 import Backbone

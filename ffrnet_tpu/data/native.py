@@ -33,11 +33,13 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH):
-            try:
-                subprocess.run(["make", "-C", _NATIVE_DIR],
-                               capture_output=True, check=True, timeout=120)
-            except Exception:
+        # always invoke make (timestamp-based, cheap) so source edits to
+        # ffrnet_host.cpp are never shadowed by a stale binary
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR],
+                           capture_output=True, check=True, timeout=120)
+        except Exception:
+            if not os.path.exists(_SO_PATH):
                 return None
         try:
             lib = ctypes.CDLL(_SO_PATH)

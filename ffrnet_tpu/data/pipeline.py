@@ -3,12 +3,15 @@
 Replaces the reference's torch DataLoader (num_workers processes +
 pin_memory, data/dataloader.py:33) with a TPU-idiomatic loader:
 
-  * per-host sharding for multi-process DP: each host reads only its
-    1/process_count slice of the (epoch-shuffled) index stream
-  * a small thread pool decodes/augments samples into NHWC numpy batches
-  * an N-deep prefetch queue overlaps host IO with device compute; batches
-    are jax.device_put with the caller's sharding so the H2D copy lands
-    directly in the right layout
+  * `batch_size` is the GLOBAL batch size; in multi-process runs each host
+    decodes its batch_size/process_count slice of the (epoch-shuffled)
+    index stream and the loader assembles a global sharded array via
+    jax.make_array_from_process_local_data — every host sees the same
+    number of steps (shards are truncated to equal length so collective
+    steps never desynchronize)
+  * a thread pool decodes/augments samples concurrently within each batch
+  * a prefetch queue overlaps host IO with device compute; single-process
+    batches are jax.device_put with the caller's sharding
 
 Seeding: one numpy Generator per (epoch, sample) derived from the global
 seed, so augmentation is reproducible and independent of worker timing
@@ -19,7 +22,8 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Callable, Dict, Iterator, Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, Optional
 
 import numpy as np
 
@@ -60,49 +64,82 @@ class BatchLoader:
                 process_index, process_count = 0, 1
         self.process_index = process_index or 0
         self.process_count = process_count or 1
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{self.process_count} processes")
+        self.local_batch = batch_size // self.process_count
+        # identical on every host: shards truncated to equal length
+        self.shard_len = len(dataset) // self.process_count
 
     def __len__(self):
-        n = len(self.dataset) // self.process_count
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return self.shard_len // self.local_batch
+        return -(-self.shard_len // self.local_batch)
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng((self.seed, epoch)).shuffle(idx)
-        # contiguous per-host shard of the shuffled stream
-        return idx[self.process_index::self.process_count]
+        # strided per-host shard of the shuffled stream, truncated so every
+        # host agrees on the step count
+        return idx[self.process_index::self.process_count][:self.shard_len]
 
     def _assemble(self, samples) -> Dict[str, np.ndarray]:
         keys = samples[0].keys()
         return {k: np.stack([s[k] for s in samples]) for k in keys}
 
+    def _to_device(self, batch: Dict[str, np.ndarray]):
+        if self.sharding is None or jax is None:
+            return batch
+        if self.process_count > 1:
+            return {
+                k: jax.make_array_from_process_local_data(
+                    self.sharding[k] if isinstance(self.sharding, dict)
+                    else self.sharding, v)
+                for k, v in batch.items()
+            }
+        return jax.device_put(batch, self.sharding)
+
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
         """Yield batches for one epoch (optionally device_put + sharded)."""
         indices = self._epoch_indices(epoch)
-        n_batches = len(indices) // self.batch_size if self.drop_last else -(
-            -len(indices) // self.batch_size)
+        n_batches = len(self)
+
+        pool = ThreadPoolExecutor(max_workers=self.num_threads)
+
+        def load_one(i):
+            rng = np.random.default_rng((self.seed, epoch, int(i)))
+            return self.dataset.get(int(i), rng)
 
         def make_batch(b):
-            sl = indices[b * self.batch_size:(b + 1) * self.batch_size]
-            samples = []
-            for i in sl:
-                rng = np.random.default_rng((self.seed, epoch, int(i)))
-                samples.append(self.dataset.get(int(i), rng))
-            return self._assemble(samples)
+            sl = indices[b * self.local_batch:(b + 1) * self.local_batch]
+            return self._assemble(list(pool.map(load_one, sl)))
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        out_q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
         stop = threading.Event()
+
+        def put_or_stop(item) -> bool:
+            # never block forever: a consumer that abandons the generator
+            # sets `stop`, and we must not leak the thread
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in range(n_batches):
-                    if stop.is_set():
+                    if not put_or_stop(make_batch(b)):
                         return
-                    out_q.put(make_batch(b))
+                put_or_stop(None)
+            except BaseException as e:  # propagate decode errors
+                put_or_stop(e)
             finally:
-                out_q.put(None)
+                pool.shutdown(wait=False)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -111,11 +148,17 @@ class BatchLoader:
                 batch = out_q.get()
                 if batch is None:
                     return
-                if self.sharding is not None and jax is not None:
-                    batch = jax.device_put(batch, self.sharding)
-                yield batch
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield self._to_device(batch)
         finally:
             stop.set()
+            # drain so a blocked producer put() wakes and exits
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
 
     def __iter__(self):
         return self.epoch(0)

@@ -55,6 +55,12 @@ def kfold_verification(scores, labels, *, n_folds: int = N_FOLDS) -> FoldResult:
     """
     n = scores.shape[0]
     per_fold = n // n_folds
+    # tolerate n not divisible by n_folds (truncated pair files) by dropping
+    # the remainder; identical to the reference for the canonical 6000
+    n_used = per_fold * n_folds
+    scores = scores[:n_used]
+    labels = labels[:n_used]
+    n = n_used
     thresholds = THRESHOLD_START + THRESHOLD_STEP * jnp.arange(
         N_THRESHOLDS, dtype=scores.dtype)
 

@@ -58,9 +58,16 @@ def build_args(debug: bool = False):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    debug = "--debug" in argv
-    if debug:
-        argv.remove("--debug")
+    debug = False
+    if "--debug" in argv:
+        i = argv.index("--debug")
+        # accept both bare `--debug` and the reference-style `--debug 1`
+        if i + 1 < len(argv) and argv[i + 1] in ("0", "1"):
+            debug = argv[i + 1] == "1"
+            del argv[i:i + 2]
+        else:
+            debug = True
+            del argv[i]
     from ffrnet_tpu.train import main as train_main
 
     train_main(build_args(debug) + argv)

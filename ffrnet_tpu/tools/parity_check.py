@@ -53,17 +53,12 @@ def compare_with_torch(encoder_path, recnet_path, n: int = 4, seed: int = 0):
 
     # torch golden comparison when available
     try:
-        import types
-
         import torch
 
-        for name in ("torchvision",):
-            if name not in sys.modules:
-                try:
-                    __import__(name)
-                except ImportError:
-                    sys.modules[name] = types.ModuleType(name)
-        sys.path.insert(0, "/root/reference")
+        from ffrnet_tpu.utils.reference_compat import install_reference_stubs
+
+        if not install_reference_stubs():
+            raise RuntimeError("reference checkout not available")
         from pretrain.model_ir_se50 import Backbone
 
         model = Backbone(50, 0.6, "ir_se")

@@ -32,20 +32,11 @@ def reference():
     Used ONLY to generate expected outputs in parity tests; skipped when the
     reference checkout or torch is unavailable.
     """
-    if not os.path.isdir(REFERENCE_ROOT):
-        pytest.skip("reference checkout not available")
     torch = pytest.importorskip("torch")
-    # The reference imports torchvision at module scope but the parity paths
-    # we exercise never touch it; satisfy the import with a stub.
-    for name in ("torchvision", "torchvision.transforms",
-                 "torchvision.transforms.functional"):
-        if name not in sys.modules:
-            try:
-                __import__(name)
-            except ImportError:
-                sys.modules[name] = types.ModuleType(name)
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+    from ffrnet_tpu.utils.reference_compat import install_reference_stubs
+
+    if not install_reference_stubs(REFERENCE_ROOT):
+        pytest.skip("reference checkout not available")
     import models.recnet as ref_recnet  # noqa: F401
     import pretrain.model_ir_se50 as ref_irse  # noqa: F401
 

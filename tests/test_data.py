@@ -152,3 +152,62 @@ def test_checkpoint_store_roundtrip(tmp_path):
     assert meta == {"epoch": 2, "iter": 110}
     assert jax.tree.all(jax.tree.map(
         lambda a, b: bool(np.array_equal(a, b)), params, p2))
+
+
+def test_batch_loader_equal_steps_across_hosts():
+    """Uneven datasets must not desynchronize collective steps (shards are
+    truncated to equal length; global batch divides across hosts)."""
+    ds = SyntheticPairs(num_identities=5, samples_per_id=3)  # 15 samples
+    h0 = BatchLoader(ds, 4, shuffle=True, seed=1, drop_last=True,
+                     process_index=0, process_count=2)
+    h1 = BatchLoader(ds, 4, shuffle=True, seed=1, drop_last=True,
+                     process_index=1, process_count=2)
+    # 15 samples -> 7 per host (truncated equally) -> 3 local batches of 2
+    assert len(h0) == len(h1) == 3
+    b0, b1 = list(h0.epoch(0)), list(h1.epoch(0))
+    assert len(b0) == len(b1) == 3
+    # local batches: global batch 4 over 2 hosts = 2 samples each
+    assert b0[0]["label"].shape == (2,) and b1[0]["label"].shape == (2,)
+    # disjoint sample streams
+    assert set(map(tuple, b0[0]["img_non"].reshape(2, -1)[:, :4])) != \
+        set(map(tuple, b1[0]["img_non"].reshape(2, -1)[:, :4]))
+
+
+def test_batch_loader_abandoned_generator_cleans_up():
+    import threading
+
+    ds = SyntheticPairs(num_identities=8, samples_per_id=4)
+    before = threading.active_count()
+    for _ in range(10):
+        gen = BatchLoader(ds, 4, prefetch=1, num_threads=2).epoch(0)
+        next(gen)
+        gen.close()  # abandon mid-epoch
+    import time
+
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 2  # no thread pile-up
+
+
+def test_batch_loader_propagates_decode_errors():
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def get(self, idx, rng):
+            raise IOError(f"corrupt sample {idx}")
+
+    loader = BatchLoader(Broken(), 4, num_threads=2)
+    with pytest.raises(IOError):
+        list(loader.epoch(0))
+
+
+def test_kfold_tolerates_non_divisible_n():
+    import jax.numpy as jnp
+
+    from ffrnet_tpu.eval.lfw import kfold_verification
+
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.uniform(-1, 1, 5995).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 2, 5995))
+    res = kfold_verification(scores, labels)
+    assert np.isfinite(float(res.mean_accuracy))
