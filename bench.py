@@ -128,11 +128,14 @@ def main():
 
     # Two jitted stages (align | model): smaller XLA programs compile far
     # faster through the remote-compile service than one fused program.
+    crop_rows = int(os.environ.get("FFRNET_BENCH_WARP_CROP", "128"))
+
     @jax.jit
     def align_fn(raw, landmarks):
         ref = jnp.broadcast_to(jnp.asarray(ARCFACE_REF_PTS), landmarks.shape)
         mats = cv2_transform(landmarks, ref)
-        aligned = warp_affine_mxu(raw, mats, out_hw=(112, 112))
+        aligned = warp_affine_mxu(raw, mats, out_hw=(112, 112),
+                                  crop_rows=crop_rows)
         return (aligned.astype(dtype) / 127.5) - 1.0
 
     @jax.jit

@@ -151,8 +151,9 @@ def _invert_2x3(m):
     return jnp.concatenate([ainv, tinv[..., None]], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("out_hw", "block"))
-def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 1792):
+@partial(jax.jit, static_argnames=("out_hw", "block", "crop_rows"))
+def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 1792,
+                    crop_rows: int = 0):
     """Gather-free bilinear affine warp that runs on the MXU.
 
     TPUs do dense math fast and random gathers slowly. Bilinear weights
@@ -167,6 +168,14 @@ def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 1792):
     coordinates get zero weight = cv2's constant-zero border. Output pixels
     are processed in `block`-sized chunks (lax.map) to bound the (B, block,
     H_in) weight / (B, block, W_in, C) intermediate footprint.
+
+    crop_rows > 0 contracts only a `crop_rows`-tall source band per pixel
+    block (selected by dynamic slice from the block's min source-y) —
+    halves the matmul for typical face-alignment transforms. CORRECTNESS
+    BOUND: the band must cover the block's full source-y extent
+    (block/out_w output rows x scale + rotation shear); use
+    `warp_rows_needed(mats, out_hw, block)` to check, or leave 0 for the
+    exact unconditional path.
 
     Same semantics as `warp_affine` (cv2 dst->src inverse mapping).
     """
@@ -201,10 +210,23 @@ def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 1792):
 
     def one_block(src_b):  # (N, block, 2)
         sx, sy = src_b[..., 0], src_b[..., 1]
-        wy = jax.nn.relu(1.0 - jnp.abs(y_grid[None, None, :] - sy[..., None]))
-        # matmul in the image dtype (bf16 images -> full MXU rate), fp32 accum
-        t = jnp.einsum("npy,nyf->npf", wy.astype(imgs.dtype), img_flat,
-                       preferred_element_type=jnp.float32)
+        if crop_rows:
+            start = jnp.clip(jnp.floor(jnp.min(sy, axis=1)).astype(jnp.int32) - 1,
+                             0, h - crop_rows)  # (N,)
+            band = jax.vmap(
+                lambda img, s: jax.lax.dynamic_slice(
+                    img, (s, 0), (crop_rows, img.shape[1])))(img_flat, start)
+            y_rel = jnp.arange(crop_rows, dtype=jnp.float32)
+            wy = jax.nn.relu(1.0 - jnp.abs(
+                y_rel[None, None, :] + start[:, None, None].astype(jnp.float32)
+                - sy[..., None]))
+            t = jnp.einsum("npy,nyf->npf", wy.astype(imgs.dtype), band,
+                           preferred_element_type=jnp.float32)
+        else:
+            wy = jax.nn.relu(1.0 - jnp.abs(y_grid[None, None, :] - sy[..., None]))
+            # matmul in the image dtype (bf16 -> full MXU rate), fp32 accum
+            t = jnp.einsum("npy,nyf->npf", wy.astype(imgs.dtype), img_flat,
+                           preferred_element_type=jnp.float32)
         # keep the big (N, block, W, C) intermediate in the image dtype —
         # this stage is HBM-bandwidth-bound
         t = t.astype(imgs.dtype).reshape(n, block, w, c)
@@ -217,6 +239,20 @@ def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 1792):
     out = jax.lax.map(one_block, src_blocks)  # (nblk, N, block, C)
     out = out.transpose(1, 0, 2, 3).reshape(n, p_total + pad, c)[:, :p_total]
     return out.reshape(n, out_h, out_w, c).astype(imgs.dtype)
+
+
+def warp_rows_needed(mats, out_hw: Tuple[int, int], block: int = 1792) -> int:
+    """Max source-y extent (rows) any pixel block needs under `mats` —
+    pick crop_rows >= this (plus the function pads the band by 2)."""
+    import numpy as np
+
+    inv = np.asarray(_invert_2x3(jnp.asarray(mats, jnp.float32)))
+    out_h, out_w = out_hw
+    rows_per_block = block // out_w
+    # y_src = inv[1,0]*x + inv[1,1]*y + inv[1,2]
+    dy_x = np.abs(inv[:, 1, 0]) * (out_w - 1)
+    dy_y = np.abs(inv[:, 1, 1]) * max(rows_per_block - 1, 0)
+    return int(np.ceil((dy_x + dy_y).max())) + 3
 
 
 @partial(jax.jit, static_argnames=("out_hw",))

@@ -49,3 +49,30 @@ def batch_numpy_to_image(array: np.ndarray, size=None,
 def to_uint8_grid(rows: Sequence[Sequence[np.ndarray]]) -> np.ndarray:
     """Stack images row-wise then column-wise into one uint8 grid."""
     return np.vstack([np.hstack(list(r)) for r in rows]).astype(np.uint8)
+
+
+def img_to_array(img_path: str, size=None, mode: str = "rgb") -> np.ndarray:
+    """Read an image into an NHWC float32 [-1, 1] batch-of-one
+    (reference img_to_tensor, utils/utils.py:9-21; PIL instead of imageio)."""
+    from PIL import Image
+
+    img = Image.open(img_path).convert("RGB")
+    if size is not None:
+        img = img.resize(size, Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32)
+    if mode == "bgr":
+        arr = arr[..., ::-1]
+    return (arr / 255.0 * 2.0 - 1.0)[None]
+
+
+def select_yx(featmap: np.ndarray, y: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Gather per-(batch, channel) spatial locations from an NHWC feature map
+    (reference select_yx, utils/utils.py:59-75, which was NCHW).
+
+    featmap: (B, H, W, C); y, x: (B, C) integer coords -> (B, C)."""
+    b, h, w, c = featmap.shape
+    y = np.clip(y, 0, h - 1).astype(np.int64)
+    x = np.clip(x, 0, w - 1).astype(np.int64)
+    bi = np.arange(b)[:, None]
+    ci = np.arange(c)[None, :]
+    return featmap[bi, y, x, ci]

@@ -65,3 +65,42 @@ def test_maybe_trace_noop():
     with maybe_trace(None):
         with annotate("x"):
             pass
+
+
+def test_select_yx_matches_torch_semantics():
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from ffrnet_tpu.utils.image import select_yx
+
+    rng = np.random.default_rng(3)
+    fm = rng.standard_normal((2, 7, 7, 5)).astype(np.float32)
+    y = rng.integers(-1, 9, (2, 5))
+    x = rng.integers(-1, 9, (2, 5))
+
+    # reference semantics (utils/utils.py:59-75), NCHW gather
+    fm_t = torch.from_numpy(fm.transpose(0, 3, 1, 2))
+    yt = torch.from_numpy(np.clip(y, 0, 6))
+    xt = torch.from_numpy(np.clip(x, 0, 6))
+    b, c, h, w = fm_t.shape
+    yy = yt.view(b, c, 1, 1).repeat(1, 1, 1, w)
+    g = torch.gather(fm_t, -2, yy.long())
+    xx = xt.view(b, c, 1, 1)
+    expected = torch.gather(g, -1, xx.long()).squeeze(-1).squeeze(-1).numpy()
+
+    np.testing.assert_allclose(select_yx(fm, y, x), expected)
+
+
+def test_img_to_array(tmp_path):
+    from PIL import Image
+
+    from ffrnet_tpu.utils.image import img_to_array
+
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 255, (20, 30, 3), dtype=np.uint8)
+    p = tmp_path / "x.png"
+    Image.fromarray(arr).save(p)
+    out = img_to_array(str(p), mode="bgr")
+    assert out.shape == (1, 20, 30, 3)
+    np.testing.assert_allclose(
+        out[0], arr[..., ::-1].astype(np.float32) / 255 * 2 - 1, atol=1e-6)
