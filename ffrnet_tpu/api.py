@@ -1,0 +1,131 @@
+"""High-level facade: the one-import user API.
+
+    from ffrnet_tpu.api import FFRNet
+
+    model = FFRNet.from_pretrained("se50.pth", "FFRNet.pth")  # or .random()
+    raw_emb, rect_emb = model.embed(images_nhwc)       # [-1, 1] BGR inputs
+    scores = model.verify(img1, img2)                  # rectified cosine
+    acc_new, acc = model.evaluate(batches)             # full 10-fold sweep
+    aligned = model.align(raw_images, landmarks)       # on-device cp2tform
+
+Bundles the frozen IR-SE50 encoder + RecNet with jitted inference, optional
+bf16 compute and BN folding — everything a user of the reference's
+encoder/recnet pair needs, in one object.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ffrnet_tpu.models import irse, recnet
+from ffrnet_tpu.models.recnet import RecNetConfig
+
+
+@dataclass
+class FFRNet:
+    enc_params: Any
+    enc_state: Any
+    rec_params: Any
+    rec_state: Any
+    cfg: RecNetConfig = field(default_factory=RecNetConfig)
+
+    # ------------------------------------------------------------------ init
+    @classmethod
+    def from_pretrained(cls, encoder_path: str, recnet_path: str = "", *,
+                        cfg: RecNetConfig = RecNetConfig(),
+                        fold_bn: bool = True, dtype=None) -> "FFRNet":
+        """Load released .pth(.gzip) weights (torch-free)."""
+        from ffrnet_tpu.checkpoint.pth_io import load_pth
+        from ffrnet_tpu.checkpoint.torch_convert import (
+            backbone_from_torch, recnet_from_torch)
+
+        enc_sd = load_pth(encoder_path)
+        if isinstance(enc_sd, dict) and "state_dict" in enc_sd:
+            enc_sd = enc_sd["state_dict"]
+        enc_p, enc_s = backbone_from_torch(enc_sd)
+        if recnet_path:
+            payload = load_pth(recnet_path)
+            rec_p, rec_s = recnet_from_torch(payload.get("RecNet", payload), cfg)
+        else:
+            rec_p, rec_s = recnet.init(jax.random.PRNGKey(0), cfg)
+        model = cls(enc_p, enc_s, rec_p, rec_s, cfg)
+        return model.prepare(fold_bn=fold_bn, dtype=dtype)
+
+    @classmethod
+    def random(cls, seed: int = 0, *, cfg: RecNetConfig = RecNetConfig(),
+               dtype=None) -> "FFRNet":
+        enc_p, enc_s = irse.init(jax.random.PRNGKey(seed))
+        rec_p, rec_s = recnet.init(jax.random.PRNGKey(seed + 1), cfg)
+        return cls(enc_p, enc_s, rec_p, rec_s, cfg).prepare(dtype=dtype)
+
+    def prepare(self, *, fold_bn: bool = False, dtype=None) -> "FFRNet":
+        """BN-fold the frozen encoder and/or cast to a compute dtype; puts
+        all leaves on device."""
+        enc_p, enc_s = self.enc_params, self.enc_state
+        if fold_bn:
+            from ffrnet_tpu.models.optimize import fold_backbone_bn
+
+            enc_p, enc_s = fold_backbone_bn(enc_p, enc_s)
+        cast = (lambda t: jax.tree.map(
+            lambda x: jnp.asarray(x, dtype) if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x), t)
+        ) if dtype is not None else (lambda t: jax.tree.map(jnp.asarray, t))
+        return FFRNet(cast(enc_p), cast(enc_s), cast(self.rec_params),
+                      cast(self.rec_state), self.cfg)
+
+    # ------------------------------------------------------------- inference
+    @partial(jax.jit, static_argnums=0)
+    def _embed(self, images):
+        featmap, raw, _ = irse.apply(self.enc_params, self.enc_state, images,
+                                     training=False)
+        (rect, rect_map), _ = recnet.apply(self.rec_params, self.rec_state,
+                                           featmap, cfg=self.cfg,
+                                           training=False)
+        return raw, rect, rect_map
+
+    def embed(self, images) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """images: (N, 112, 112, 3) NHWC in [-1, 1] BGR ->
+        (raw_embedding (N,512) L2-normed, rectified_embedding (N,512))."""
+        raw, rect, _ = self._embed(jnp.asarray(images))
+        return raw, rect
+
+    def featurize(self, images):
+        """Full outputs: (raw_embed, rectified_embed, rectified_map)."""
+        return self._embed(jnp.asarray(images))
+
+    def verify(self, img1, img2, *, rectified: bool = True) -> jnp.ndarray:
+        """Per-pair cosine scores (the reference's verification distance)."""
+        from ffrnet_tpu.eval.lfw import pair_cosine
+
+        r1, n1 = self.embed(img1)
+        r2, n2 = self.embed(img2)
+        return pair_cosine(n1, n2) if rectified else pair_cosine(r1, r2)
+
+    def evaluate(self, batches: Iterable) -> Tuple[float, float]:
+        """Full 10-fold protocol over {'img1','img2','label'} batches ->
+        (acc_rectified, acc_raw), mirroring get_avg_accuracy."""
+        from ffrnet_tpu.eval.runner import evaluate_pairs
+
+        res_new, res_raw = evaluate_pairs(
+            self.enc_params, self.enc_state, self.rec_params, self.rec_state,
+            batches, cfg=self.cfg)
+        return float(res_new.mean_accuracy), float(res_raw.mean_accuracy)
+
+    @staticmethod
+    def align(images, landmarks, *, out_hw=(112, 112)):
+        """Batched on-device cp2tform alignment (uint8/float pixel values)."""
+        from ffrnet_tpu.ops.align import align_faces
+
+        return align_faces(jnp.asarray(images), jnp.asarray(landmarks),
+                           out_hw=out_hw)
+
+    def __hash__(self):  # jit static self: identity-hash the bundle
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other

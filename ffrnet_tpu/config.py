@@ -38,6 +38,7 @@ class Options:
     model_name: str = "FFR-Net"
     num_classes: int = 10575
     ss_impl: str = "xla"          # self-similarity implementation: xla|pallas
+    compute_dtype: str = "fp32"   # fp32 | bf16 (mixed-precision training)
     # loss
     loss_weight: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     loss: str = "sphere"
@@ -106,6 +107,7 @@ class Options:
             weight_decay=self.weight_decay,
             loss_weight=tuple(self.loss_weight),
             faithful_ce_weight=bool(self.faithful_ce_weight),
+            compute_dtype=self.compute_dtype,
             recnet=RecNetConfig(num_classes=self.num_classes,
                                 ss_impl=self.ss_impl),
         )
@@ -128,6 +130,7 @@ def parse_args(argv: Optional[List[str]] = None, *, make_dirs: bool = True) -> O
     p.add_argument("--model_name", type=str, default=defaults.model_name)
     p.add_argument("--num_classes", type=int, default=defaults.num_classes)
     p.add_argument("--ss_impl", type=str, default=defaults.ss_impl)
+    p.add_argument("--compute_dtype", type=str, default=defaults.compute_dtype)
     p.add_argument("--loss_weight", type=float, nargs=4,
                    default=list(defaults.loss_weight))
     p.add_argument("--loss", type=str, default=defaults.loss)

@@ -123,12 +123,18 @@ def batch_norm(
     c = x.shape[-1]
     reduce_axes = tuple(range(x.ndim - 1))
     if training:
-        mean = jnp.mean(x, axis=reduce_axes)
-        var = jnp.var(x, axis=reduce_axes)
+        # accumulate batch statistics in fp32 (bf16 activations would lose
+        # precision in the variance reduction)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=reduce_axes)
+        var = jnp.var(xf, axis=reduce_axes)
         n = x.size // c
         unbiased = var * (n / max(n - 1, 1))
-        new_mean = (1 - momentum) * running_mean + momentum * mean
-        new_var = (1 - momentum) * running_var + momentum * unbiased
+        rdtype = running_mean.dtype
+        new_mean = ((1 - momentum) * running_mean.astype(jnp.float32)
+                    + momentum * mean).astype(rdtype)
+        new_var = ((1 - momentum) * running_var.astype(jnp.float32)
+                   + momentum * unbiased).astype(rdtype)
     else:
         mean, var = running_mean, running_var
         new_mean, new_var = running_mean, running_var

@@ -25,6 +25,7 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--optimizer", type=str, default="adam")
     p.add_argument("--num_classes", type=int, default=10575)
+    p.add_argument("--dtype", type=str, default="fp32", choices=["fp32", "bf16"])
     args = p.parse_args(argv)
 
     import jax
@@ -36,6 +37,7 @@ def main(argv=None):
         TrainerConfig, create_train_state, train_step)
 
     cfg = TrainerConfig(optimizer=args.optimizer, lr=1e-3,
+                        compute_dtype=args.dtype,
                         recnet=RecNetConfig(num_classes=args.num_classes))
     enc_params, enc_state = irse.init(jax.random.PRNGKey(0))
     state = create_train_state(jax.random.PRNGKey(1), cfg)
@@ -73,6 +75,7 @@ def main(argv=None):
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/s",
         "batch": args.batch,
+        "dtype": args.dtype,
         "step_ms": round(1e3 * dt / args.iters, 2),
     }))
 

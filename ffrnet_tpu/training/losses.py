@@ -29,11 +29,13 @@ from ffrnet_tpu.ops.similarity import self_similarity
 
 
 def mse(a, b):
-    return jnp.mean(jnp.square(a - b))
+    # loss terms always reduce in fp32 (mixed-precision forward safe)
+    return jnp.mean(jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)))
 
 
 def cross_entropy(logits, labels):
-    """nn.CrossEntropyLoss: mean softmax CE over the batch."""
+    """nn.CrossEntropyLoss: mean softmax CE over the batch (fp32)."""
+    logits = logits.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits, axis=-1)
     true_logit = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
     return jnp.mean(logz - true_logit)
@@ -43,11 +45,13 @@ def triplet_cosine(anchor, pos, neg, *, margin: float = 0.1):
     """Reference TripletLoss (models/trainer.py:31-43).
 
     Returns (loss, pos_dist_mean, neg_dist_mean); distances are
-    1 - cosine similarity of L2-normalized embeddings.
+    1 - cosine similarity of L2-normalized embeddings. Computed in fp32.
     """
-    a = l2_normalize(anchor, axis=1)
-    pos_cos = 1.0 - jnp.sum(a * l2_normalize(pos, axis=1), axis=1)
-    neg_cos = 1.0 - jnp.sum(a * l2_normalize(neg, axis=1), axis=1)
+    a = l2_normalize(anchor.astype(jnp.float32), axis=1)
+    pos_cos = 1.0 - jnp.sum(a * l2_normalize(pos.astype(jnp.float32), axis=1),
+                            axis=1)
+    neg_cos = 1.0 - jnp.sum(a * l2_normalize(neg.astype(jnp.float32), axis=1),
+                            axis=1)
     loss = jnp.mean(jax.nn.relu(pos_cos - neg_cos + margin))
     return loss, pos_cos.mean(), neg_cos.mean()
 

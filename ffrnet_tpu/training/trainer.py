@@ -46,6 +46,8 @@ class TrainerConfig:
     lr_gamma: float = 0.5
     clip_value: float = 1.0
     faithful_ce_weight: bool = True
+    compute_dtype: str = "fp32"  # 'bf16' = mixed precision: bf16 fwd/bwd,
+    # fp32 master params / optimizer / loss reductions / BN statistics
     recnet: RecNetConfig = field(default_factory=RecNetConfig)
 
     def lr_schedule(self):
@@ -80,16 +82,29 @@ def train_step(encoder_params, encoder_state, state: TrainState, batch,
     Returns (new_state, metrics). Pure — jit/pjit it (cfg is static).
     """
     rc = cfg.recnet
+    half = jnp.bfloat16 if cfg.compute_dtype == "bf16" else None
+
+    def cast(tree):
+        if half is None:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(half) if jnp.issubdtype(x.dtype, jnp.floating)
+            else x, tree)
+
+    enc_p, enc_s = cast(encoder_params), cast(encoder_state)
     featmap_non, embed_non, _ = irse.apply(
-        encoder_params, encoder_state, batch["img_non"], training=False)
+        enc_p, enc_s, cast(batch["img_non"]), training=False)
     featmap_ocl, embed_ocl, _ = irse.apply(
-        encoder_params, encoder_state, batch["img_ocl"], training=False)
+        enc_p, enc_s, cast(batch["img_ocl"]), training=False)
     labels = batch["label"]
 
     def loss_fn(params):
-        out_non, st1 = recnet.apply(params, state.model_state, featmap_non,
+        # mixed precision: bf16 compute params; grads flow back to the fp32
+        # masters through the cast (loss reductions stay fp32, losses.py)
+        p = cast(params)
+        out_non, st1 = recnet.apply(p, state.model_state, featmap_non,
                                     labels, cfg=rc, training=True)
-        out_ocl, st2 = recnet.apply(params, st1, featmap_ocl,
+        out_ocl, st2 = recnet.apply(p, st1, featmap_ocl,
                                     labels, cfg=rc, training=True)
         lb = losses.ffrnet_objective(
             featmap_non=featmap_non, embed_non=embed_non, embed_ocl=embed_ocl,

@@ -1,0 +1,83 @@
+"""FFRNet facade API tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ffrnet_tpu.api import FFRNet
+
+
+@pytest.fixture(scope="module")
+def model():
+    return FFRNet.random(seed=0)
+
+
+def test_embed_and_verify(model):
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (4, 112, 112, 3)).astype(np.float32))
+    raw, rect = model.embed(imgs)
+    assert raw.shape == rect.shape == (4, 512)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(raw), axis=1), 1.0,
+                               atol=1e-5)
+    scores = model.verify(imgs[:2], imgs[2:])
+    assert scores.shape == (2,)
+    # identical pairs -> cosine 1
+    same = model.verify(imgs[:2], imgs[:2])
+    np.testing.assert_allclose(np.asarray(same), 1.0, atol=1e-4)
+
+
+def test_align(model):
+    from ffrnet_tpu.ops.align import ARCFACE_REF_PTS
+
+    rng = np.random.default_rng(1)
+    raw = rng.uniform(0, 255, (2, 160, 160, 3)).astype(np.float32)
+    lmk = (ARCFACE_REF_PTS[None].repeat(2, 0) + 20).astype(np.float32)
+    out = model.align(raw, lmk, out_hw=(112, 96))
+    assert out.shape == (2, 112, 96, 3)
+
+
+def test_from_pretrained_roundtrip(tmp_path, model):
+    """Save our params as released-style .pth files, reload via the facade,
+    embeddings identical."""
+    from ffrnet_tpu.checkpoint.pth_io import save_pth
+    from ffrnet_tpu.checkpoint.torch_convert import (
+        backbone_to_torch, recnet_to_torch)
+
+    enc_path = tmp_path / "se50.pth"
+    rec_path = tmp_path / "FFRNet.pth.gzip"
+    save_pth(backbone_to_torch(model.enc_params, model.enc_state),
+             str(enc_path), use_torch=False)
+    save_pth({"RecNet": recnet_to_torch(model.rec_params, model.rec_state)},
+             str(rec_path), use_torch=False)
+
+    loaded = FFRNet.from_pretrained(str(enc_path), str(rec_path),
+                                    fold_bn=False)
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (2, 112, 112, 3)).astype(np.float32))
+    r1, n1 = model.embed(imgs)
+    r2, n2 = loaded.embed(imgs)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), atol=1e-6)
+
+    folded = FFRNet.from_pretrained(str(enc_path), str(rec_path), fold_bn=True)
+    r3, n3 = folded.embed(imgs)
+    np.testing.assert_allclose(np.asarray(r3), np.asarray(r1), atol=5e-4)
+
+
+def test_evaluate_protocol(model):
+    rng = np.random.default_rng(3)
+
+    def batches():
+        for _ in range(2):
+            yield {
+                "img1": jnp.asarray(rng.uniform(-1, 1, (10, 112, 112, 3))
+                                    .astype(np.float32)),
+                "img2": jnp.asarray(rng.uniform(-1, 1, (10, 112, 112, 3))
+                                    .astype(np.float32)),
+                "label": jnp.asarray(rng.integers(0, 2, 10)),
+            }
+
+    acc_new, acc = model.evaluate(batches())
+    assert 0.0 <= acc_new <= 1.0 and 0.0 <= acc <= 1.0

@@ -246,3 +246,25 @@ def test_distributed_train_step_dp_tp():
     state, metrics2 = step(enc_p, enc_s, state, batch)
     assert np.isfinite(float(metrics2["TotalLoss"]))
     assert int(state.step) == 2
+
+
+@pytest.mark.slow
+def test_train_step_bf16_mixed_precision():
+    enc_p, enc_s, _, _, batch = _tiny_setup()
+    cfg = TrainerConfig(optimizer="adam", lr=1e-3, compute_dtype="bf16",
+                        recnet=RecNetConfig(num_classes=32))
+    state = create_train_state(jax.random.PRNGKey(1), cfg)
+    import functools
+
+    step = jax.jit(functools.partial(train_step, cfg=cfg))
+    losses_seen = []
+    for _ in range(3):
+        state, metrics = step(enc_p, enc_s, state, batch)
+        losses_seen.append(float(metrics["TotalLoss"]))
+        assert np.isfinite(losses_seen[-1])
+    assert losses_seen[-1] < losses_seen[0]
+    # master params stay fp32
+    assert state.params["classifier"]["w"].dtype == jnp.float32
+    # BN running stats stay fp32
+    leaf = state.model_state["merge"]["c"]["norm"]["mean"]
+    assert leaf.dtype == jnp.float32
