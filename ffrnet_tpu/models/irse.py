@@ -153,15 +153,19 @@ def _bn(params, state, x, training):
     return y, {"mean": mean, "var": var}
 
 
-def _se(params, x):
+def _se(params, x, impl: str = "xla"):
     """Squeeze-excitation gate (model_ir_se50.py:18-36)."""
+    if impl == "pallas":
+        from ffrnet_tpu.ops.pallas.se_gating import se_gating_pallas
+
+        return se_gating_pallas(x, params["fc1"]["w"], params["fc2"]["w"])
     pooled = ops.global_avg_pool(x)  # (N, C)
     g = ops.relu(ops.linear(pooled, params["fc1"]["w"]))
     g = jax.nn.sigmoid(ops.linear(g, params["fc2"]["w"]))
     return x * g[:, None, None, :]
 
 
-def _apply_unit(params, state, x, stride, mode, training):
+def _apply_unit(params, state, x, stride, mode, training, se_impl="xla"):
     new_state: Dict[str, Any] = {}
     if "shortcut" in params:
         sc = ops.conv2d(x, params["shortcut"]["conv"]["w"],
@@ -180,13 +184,14 @@ def _apply_unit(params, state, x, stride, mode, training):
                    padding=1)
     y, bn2_s = _bn(r["bn2"], state["res"]["bn2"], y, training)
     if mode == "ir_se":
-        y = _se(r["se"], y)
+        y = _se(r["se"], y, impl=se_impl)
     new_state["res"] = {"bn1": bn1_s, "bn2": bn2_s}
     return y + sc, new_state
 
 
 def apply(params, state, x, *, num_layers: int = 50, mode: str = "ir_se",
-          drop_ratio: float = 0.6, training: bool = False, rng=None):
+          drop_ratio: float = 0.6, training: bool = False, rng=None,
+          se_impl: str = "xla"):
     """Forward pass.
 
     x: (N, 112, 112, 3) NHWC in [-1, 1], BGR channel order (the reference's
@@ -205,7 +210,7 @@ def apply(params, state, x, *, num_layers: int = 50, mode: str = "ir_se",
 
     body_state = []
     for p, s, (_, _, stride) in zip(params["body"], state["body"], units):
-        y, us = _apply_unit(p, s, y, stride, mode, training)
+        y, us = _apply_unit(p, s, y, stride, mode, training, se_impl)
         body_state.append(us)
     new_state["body"] = body_state
 
