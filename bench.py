@@ -122,9 +122,12 @@ def main():
         enc_params, enc_state = fold_backbone_bn(enc_params, enc_state)
     rec_params, rec_state = recnet.init(jax.random.PRNGKey(1), cfg)
     if dtype != jnp.float32:
-        cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
-        enc_params, enc_state = cast(enc_params), cast(enc_state)
-        rec_params, rec_state = cast(rec_params), cast(rec_state)
+        from ffrnet_tpu.ops.nn import tree_cast_floats
+
+        enc_params, enc_state = (tree_cast_floats(enc_params, dtype),
+                                 tree_cast_floats(enc_state, dtype))
+        rec_params, rec_state = (tree_cast_floats(rec_params, dtype),
+                                 tree_cast_floats(rec_state, dtype))
 
     # Two jitted stages (align | model): smaller XLA programs compile far
     # faster through the remote-compile service than one fused program.

@@ -66,27 +66,25 @@ class FFRNet:
     def prepare(self, *, fold_bn: bool = False, dtype=None) -> "FFRNet":
         """BN-fold the frozen encoder and/or cast to a compute dtype; puts
         all leaves on device."""
+        from ffrnet_tpu.ops.nn import tree_cast_floats
+
         enc_p, enc_s = self.enc_params, self.enc_state
         if fold_bn:
             from ffrnet_tpu.models.optimize import fold_backbone_bn
 
             enc_p, enc_s = fold_backbone_bn(enc_p, enc_s)
-        cast = (lambda t: jax.tree.map(
-            lambda x: jnp.asarray(x, dtype) if jnp.issubdtype(
-                jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x), t)
-        ) if dtype is not None else (lambda t: jax.tree.map(jnp.asarray, t))
-        return FFRNet(cast(enc_p), cast(enc_s), cast(self.rec_params),
-                      cast(self.rec_state), self.cfg)
+        trees = jax.tree.map(
+            jnp.asarray, (enc_p, enc_s, self.rec_params, self.rec_state))
+        trees = tree_cast_floats(trees, dtype)
+        return FFRNet(*trees, self.cfg)
 
     # ------------------------------------------------------------- inference
-    @partial(jax.jit, static_argnums=0)
     def _embed(self, images):
-        featmap, raw, _ = irse.apply(self.enc_params, self.enc_state, images,
-                                     training=False)
-        (rect, rect_map), _ = recnet.apply(self.rec_params, self.rec_state,
-                                           featmap, cfg=self.cfg,
-                                           training=False)
-        return raw, rect, rect_map
+        # module-level jitted fn with cfg static: the compile cache is
+        # shared across FFRNet instances (params are traced args, so
+        # instances never pin weight trees in the pjit cache)
+        return _embed_impl(self.enc_params, self.enc_state, self.rec_params,
+                           self.rec_state, images, cfg=self.cfg)
 
     def embed(self, images) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """images: (N, 112, 112, 3) NHWC in [-1, 1] BGR ->
@@ -117,15 +115,22 @@ class FFRNet:
         return float(res_new.mean_accuracy), float(res_raw.mean_accuracy)
 
     @staticmethod
-    def align(images, landmarks, *, out_hw=(112, 112)):
-        """Batched on-device cp2tform alignment (uint8/float pixel values)."""
+    def align(images, landmarks, *, out_hw=(112, 96), ref_pts=None):
+        """Batched on-device cp2tform alignment (uint8/float pixel values).
+
+        Default crop is the canonical (H=112, W=96) frame the ARCFACE
+        reference landmarks define (lfw/gen_lfw112x96.py:8-17); for a
+        112x112 crop pass out_hw=(112, 112) with ref_pts shifted +8 in x
+        (the usual 112x112 ArcFace convention)."""
         from ffrnet_tpu.ops.align import align_faces
 
         return align_faces(jnp.asarray(images), jnp.asarray(landmarks),
-                           out_hw=out_hw)
+                           out_hw=out_hw, ref_pts=ref_pts)
 
-    def __hash__(self):  # jit static self: identity-hash the bundle
-        return id(self)
 
-    def __eq__(self, other):
-        return self is other
+@partial(jax.jit, static_argnames=("cfg",))
+def _embed_impl(enc_params, enc_state, rec_params, rec_state, images, *, cfg):
+    featmap, raw, _ = irse.apply(enc_params, enc_state, images, training=False)
+    (rect, rect_map), _ = recnet.apply(rec_params, rec_state, featmap,
+                                       cfg=cfg, training=False)
+    return raw, rect, rect_map

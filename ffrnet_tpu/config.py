@@ -130,7 +130,8 @@ def parse_args(argv: Optional[List[str]] = None, *, make_dirs: bool = True) -> O
     p.add_argument("--model_name", type=str, default=defaults.model_name)
     p.add_argument("--num_classes", type=int, default=defaults.num_classes)
     p.add_argument("--ss_impl", type=str, default=defaults.ss_impl)
-    p.add_argument("--compute_dtype", type=str, default=defaults.compute_dtype)
+    p.add_argument("--compute_dtype", type=str, default=defaults.compute_dtype,
+                   choices=["fp32", "bf16"])
     p.add_argument("--loss_weight", type=float, nargs=4,
                    default=list(defaults.loss_weight))
     p.add_argument("--loss", type=str, default=defaults.loss)

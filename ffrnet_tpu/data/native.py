@@ -34,10 +34,16 @@ def _load():
             return _lib
         _tried = True
         # always invoke make (timestamp-based, cheap) so source edits to
-        # ffrnet_host.cpp are never shadowed by a stale binary
+        # ffrnet_host.cpp are never shadowed by a stale binary; an exclusive
+        # flock serializes concurrent builders (multi-process startup would
+        # otherwise dlopen a half-written .so)
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR],
-                           capture_output=True, check=True, timeout=120)
+            import fcntl
+
+            with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                subprocess.run(["make", "-C", _NATIVE_DIR],
+                               capture_output=True, check=True, timeout=120)
         except Exception:
             if not os.path.exists(_SO_PATH):
                 return None

@@ -55,6 +55,10 @@ def kfold_verification(scores, labels, *, n_folds: int = N_FOLDS) -> FoldResult:
     """
     n = scores.shape[0]
     per_fold = n // n_folds
+    if per_fold == 0:
+        raise ValueError(
+            f"kfold_verification needs at least n_folds={n_folds} pairs, "
+            f"got {n}")
     # tolerate n not divisible by n_folds (truncated pair files) by dropping
     # the remainder; identical to the reference for the canonical 6000
     n_used = per_fold * n_folds

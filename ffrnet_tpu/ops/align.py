@@ -192,7 +192,10 @@ def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 1792,
     src = jnp.einsum("nij,pj->npi", inv, dst)  # (N, P, 2): (x, y)
 
     pad = (-p_total) % block
-    src = jnp.pad(src, ((0, 0), (0, pad), (0, 0)))
+    # pad coords with a huge positive value: zero interpolation weight AND
+    # never the block min (a 0 pad would drag min(sy) down and anchor the
+    # crop_rows band away from the real pixels in a partially-padded block)
+    src = jnp.pad(src, ((0, 0), (0, pad), (0, 0)), constant_values=1e6)
     src_blocks = src.reshape(n, -1, block, 2).transpose(1, 0, 2, 3)
 
     # Pad source dims to lane multiples — unaligned K/N tile badly on the
@@ -248,10 +251,12 @@ def warp_rows_needed(mats, out_hw: Tuple[int, int], block: int = 1792) -> int:
 
     inv = np.asarray(_invert_2x3(jnp.asarray(mats, jnp.float32)))
     out_h, out_w = out_hw
-    rows_per_block = block // out_w
+    # a block of `block` pixels can straddle row boundaries: it spans up to
+    # ceil(block/out_w) + 1 output rows when block % out_w != 0
+    rows_spanned = -(-block // out_w) + (1 if block % out_w else 0)
     # y_src = inv[1,0]*x + inv[1,1]*y + inv[1,2]
     dy_x = np.abs(inv[:, 1, 0]) * (out_w - 1)
-    dy_y = np.abs(inv[:, 1, 1]) * max(rows_per_block - 1, 0)
+    dy_y = np.abs(inv[:, 1, 1]) * max(rows_spanned - 1, 0)
     return int(np.ceil((dy_x + dy_y).max())) + 3
 
 

@@ -253,6 +253,16 @@ def l2_norm_div(x, axis=-1):
     return x / norm
 
 
+def tree_cast_floats(tree, dtype):
+    """Cast floating leaves of a pytree to `dtype` (mixed-precision helper);
+    integer/bool leaves pass through unchanged."""
+    if dtype is None:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+
 def upsample_nearest_2x(x):
     """F.interpolate(scale_factor=2, mode='nearest') on NHWC."""
     n, h, w, c = x.shape

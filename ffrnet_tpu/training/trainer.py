@@ -82,14 +82,15 @@ def train_step(encoder_params, encoder_state, state: TrainState, batch,
     Returns (new_state, metrics). Pure — jit/pjit it (cfg is static).
     """
     rc = cfg.recnet
+    if cfg.compute_dtype not in ("fp32", "bf16"):
+        raise ValueError(f"compute_dtype must be fp32|bf16, "
+                         f"got {cfg.compute_dtype!r}")
     half = jnp.bfloat16 if cfg.compute_dtype == "bf16" else None
 
+    from ffrnet_tpu.ops.nn import tree_cast_floats
+
     def cast(tree):
-        if half is None:
-            return tree
-        return jax.tree.map(
-            lambda x: x.astype(half) if jnp.issubdtype(x.dtype, jnp.floating)
-            else x, tree)
+        return tree_cast_floats(tree, half)
 
     enc_p, enc_s = cast(encoder_params), cast(encoder_state)
     featmap_non, embed_non, _ = irse.apply(
