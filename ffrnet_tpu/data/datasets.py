@@ -86,6 +86,34 @@ def _to_unit(arr_u8: np.ndarray) -> np.ndarray:
     return (arr_u8.astype(np.float32) / 255.0 - 0.5) / 0.5
 
 
+def _native_ready(use_native) -> bool:
+    """Resolve a use_native tri-state ('auto'/True/False) against the
+    availability of the C++ host library."""
+    if use_native is False:
+        return False
+    from ffrnet_tpu.data import native
+
+    ok = native.is_available()
+    if use_native is True and not ok:
+        raise RuntimeError("native host library requested but unavailable")
+    return ok
+
+
+def _load_pair_native(path1: str, path2: str, flip: bool):
+    """Decode+prep a JPEG pair through the C++ library (BGR, [-1,1],
+    paired flip, bicubic resize; PIL-equivalent within ~2 pixel LSB on
+    resized inputs, bit-exact on 112x112 inputs)."""
+    from ffrnet_tpu.data import native
+
+    with open(path1, "rb") as f:
+        b1 = f.read()
+    with open(path2, "rb") as f:
+        b2 = f.read()
+    out = native.decode_prep_batch([b1, b2], IMG_SIZE[::-1], bgr=True,
+                                   flips=[flip, flip], strict=True)
+    return out[0], out[1]
+
+
 @dataclass
 class CasiaPairs:
     """CASIA-WebFace paired clean/masked training set (data/dataset.py:91-162).
@@ -97,6 +125,7 @@ class CasiaPairs:
     img_list: str
     flip_prob: float = 0.5
     num_classes: int = 10575
+    use_native: object = "auto"  # True | False | 'auto' (C++ decode path)
 
     def __post_init__(self):
         self.items: List[Tuple[str, int]] = []
@@ -106,6 +135,7 @@ class CasiaPairs:
                     continue
                 path, label = line.strip().split()
                 self.items.append((path, int(label)))
+        self._native = _native_ready(self.use_native)
 
     def __len__(self):
         return len(self.items)
@@ -115,9 +145,19 @@ class CasiaPairs:
         twin = find_mask_twin(self.data_root, path)
         if twin is None:
             raise FileNotFoundError(f"no masked twin for {path}")
-        img = _load_bgr(os.path.join(self.data_root, path))
-        mask = _load_bgr(os.path.join(self.data_root, twin))
-        if rng.random() < self.flip_prob:  # paired flip
+        flip = rng.random() < self.flip_prob  # paired flip
+        p1 = os.path.join(self.data_root, path)
+        p2 = os.path.join(self.data_root, twin)
+        if self._native:
+            try:
+                img_f, mask_f = _load_pair_native(p1, p2, flip)
+                return {"img_non": img_f, "img_ocl": mask_f,
+                        "label": np.int32(label)}
+            except RuntimeError:
+                pass  # non-JPEG or decode failure -> PIL path
+        img = _load_bgr(p1)
+        mask = _load_bgr(p2)
+        if flip:
             img = img[:, ::-1]
             mask = mask[:, ::-1]
         return {

@@ -97,9 +97,11 @@ def prep_batch(images: Sequence[np.ndarray], out_hw=(112, 112), *,
 
 def decode_prep_batch(jpeg_buffers: Sequence[bytes], out_hw=(112, 112), *,
                       bgr: bool = True,
-                      flips: Optional[Sequence[bool]] = None) -> np.ndarray:
-    """Raw JPEG buffers -> float32 NHWC batch in [-1, 1]; failed decodes
-    come back as zero images (count returned in an exception if all fail)."""
+                      flips: Optional[Sequence[bool]] = None,
+                      strict: bool = False) -> np.ndarray:
+    """Raw JPEG buffers -> float32 NHWC batch in [-1, 1]. Failed decodes
+    come back as zero images; strict=True raises on ANY failure (default
+    raises only when every decode fails)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native host library unavailable")
@@ -115,6 +117,6 @@ def decode_prep_batch(jpeg_buffers: Sequence[bytes], out_hw=(112, 112), *,
     failures = lib.ffrnet_decode_prep_batch(
         ptrs, lens, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         oh, ow, 1 if bgr else 0, flip_buf)
-    if failures == n and n > 0:
-        raise RuntimeError("all JPEG decodes failed")
+    if failures and (strict or failures == n) and n > 0:
+        raise RuntimeError(f"{failures}/{n} JPEG decodes failed")
     return out

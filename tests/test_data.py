@@ -77,7 +77,7 @@ def test_casia_pairs_bgr_and_flip(lfw_tree, tmp_path):
     _listdir_cached.cache_clear()
     lst = tmp_path / "list.txt"
     lst.write_text("Alice_A/Alice_A_0001.jpg 0\nBob_B/Bob_B_0002.jpg 1\n")
-    ds = CasiaPairs(str(root), str(lst), flip_prob=0.0)
+    ds = CasiaPairs(str(root), str(lst), flip_prob=0.0, use_native=False)
     s = ds.get(0, np.random.default_rng(0))
     assert s["img_non"].shape == (112, 112, 3) and s["label"] == 0
 
@@ -89,9 +89,19 @@ def test_casia_pairs_bgr_and_flip(lfw_tree, tmp_path):
     np.testing.assert_allclose(s["img_non"], expected, atol=1e-6)
 
     # paired flip: with flip_prob=1 both images flip together
-    ds_flip = CasiaPairs(str(root), str(lst), flip_prob=1.0)
+    ds_flip = CasiaPairs(str(root), str(lst), flip_prob=1.0, use_native=False)
     sf = ds_flip.get(0, np.random.default_rng(0))
     np.testing.assert_allclose(sf["img_non"], s["img_non"][:, ::-1], atol=1e-6)
+
+    # native C++ decode fast path agrees with the PIL path (decoder-level
+    # differences allowed: a couple of pixel LSB)
+    from ffrnet_tpu.data import native
+
+    if native.is_available():
+        ds_nat = CasiaPairs(str(root), str(lst), flip_prob=0.0,
+                            use_native=True)
+        sn = ds_nat.get(0, np.random.default_rng(0))
+        assert np.abs(sn["img_non"] - s["img_non"]).max() * 127.5 <= 2.0
 
 
 def test_batch_loader_sharding_and_determinism():
