@@ -110,7 +110,8 @@ def main():
 
     from ffrnet_tpu.models import irse, recnet
     from ffrnet_tpu.models.recnet import RecNetConfig
-    from ffrnet_tpu.ops.align import ARCFACE_REF_PTS, cv2_transform, warp_affine_mxu
+    from ffrnet_tpu.ops.align import (
+        ARCFACE_REF_PTS, cv2_transform, warp_affine_mxu, warp_affine_tiled)
     from ffrnet_tpu.eval.lfw import pair_cosine
 
     dtype = jnp.bfloat16 if DTYPE == "bf16" else jnp.float32
@@ -131,14 +132,17 @@ def main():
 
     # Two jitted stages (align | model): smaller XLA programs compile far
     # faster through the remote-compile service than one fused program.
-    crop_rows = int(os.environ.get("FFRNET_BENCH_WARP_CROP", "128"))
+    warp_impl = os.environ.get("FFRNET_BENCH_WARP", "tiled")  # tiled|rowcrop
 
     @jax.jit
     def align_fn(raw, landmarks):
         ref = jnp.broadcast_to(jnp.asarray(ARCFACE_REF_PTS), landmarks.shape)
         mats = cv2_transform(landmarks, ref)
-        aligned = warp_affine_mxu(raw, mats, out_hw=(112, 112),
-                                  crop_rows=crop_rows)
+        if warp_impl == "tiled":
+            aligned = warp_affine_tiled(raw, mats, out_hw=(112, 112))
+        else:
+            aligned = warp_affine_mxu(raw, mats, out_hw=(112, 112),
+                                      crop_rows=128)
         return (aligned.astype(dtype) / 127.5) - 1.0
 
     @jax.jit

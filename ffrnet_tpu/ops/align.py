@@ -244,6 +244,87 @@ def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 1792,
     return out.reshape(n, out_h, out_w, c).astype(imgs.dtype)
 
 
+@partial(jax.jit, static_argnames=("out_hw", "tile", "crop"))
+def warp_affine_tiled(imgs, mats, *, out_hw: Tuple[int, int],
+                      tile: Tuple[int, int] = (56, 16),
+                      crop: Tuple[int, int] = (128, 128)):
+    """2-D tiled MXU warp: crops BOTH source axes per output tile.
+
+    Processes the output in (tile_h, tile_w) tiles; each tile dynamically
+    slices a (crop_h, crop_w) source window (from the tile's min source
+    coords) and runs the same matmul + fused-reduce bilinear scheme as
+    warp_affine_mxu inside the window — halving both the contraction and
+    the x-interp intermediates vs row-only cropping.
+
+    CORRECTNESS BOUND: each tile's source extent must fit `crop`; for a
+    tile of (th, tw) that is |inv11|*(th-1) + |inv10|*(tw-1) + 3 source
+    rows and |inv00|*(tw-1) + |inv01|*(th-1) + 3 cols. The defaults cover
+    250->112 face alignment with modest rotation; use warp_rows_needed-style
+    checks for unusual transforms, or warp_affine_mxu(crop_rows=0) for the
+    unconditional path.
+    """
+    n, h, w, c = imgs.shape
+    out_h, out_w = out_hw
+    th, tw = tile
+    crop_h, crop_w = crop
+    pad_h = (-out_h) % th
+    pad_w = (-out_w) % tw
+    oh, ow = out_h + pad_h, out_w + pad_w
+    nty, ntx = oh // th, ow // tw
+    inv = _invert_2x3(mats.astype(jnp.float32))
+
+    ys, xs = jnp.meshgrid(jnp.arange(oh, dtype=jnp.float32),
+                          jnp.arange(ow, dtype=jnp.float32), indexing="ij")
+    valid = (ys < out_h) & (xs < out_w)
+    dst = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (oh, ow, 3)
+    src = jnp.einsum("nij,hwj->nhwi", inv, dst)  # (N, oh, ow, 2)
+    # out-of-frame padding pixels: push coords far positive (zero weight,
+    # never the tile min)
+    src = jnp.where(valid[None, :, :, None], src, 1e6)
+    # -> (N, nty, ntx, th*tw, 2)
+    src = src.reshape(n, nty, th, ntx, tw, 2).transpose(0, 1, 3, 2, 4, 5)
+    src = src.reshape(n, nty * ntx, th * tw, 2)
+
+    # pad source to crop-sliceable extent with zero pixels
+    h_pad = max(-h % 128, crop_h - h if crop_h > h else 0)
+    w_pad = max(-w % 128, crop_w - w if crop_w > w else 0)
+    imgs_p = jnp.pad(imgs, ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+    hp, wp = h + h_pad, w + w_pad
+
+    tp = th * tw
+
+    def one_tile(src_t):  # (N, tp, 2)
+        sx, sy = src_t[..., 0], src_t[..., 1]
+        sy_start = jnp.clip(jnp.floor(jnp.min(sy, axis=1)).astype(jnp.int32) - 1,
+                            0, hp - crop_h)  # (N,)
+        sx_start = jnp.clip(jnp.floor(jnp.min(sx, axis=1)).astype(jnp.int32) - 1,
+                            0, wp - crop_w)
+        window = jax.vmap(
+            lambda img, y0, x0: jax.lax.dynamic_slice(
+                img, (y0, x0, 0), (crop_h, crop_w, c))
+        )(imgs_p, sy_start, sx_start)  # (N, crop_h, crop_w, c)
+        win_flat = window.reshape(n, crop_h, crop_w * c)
+
+        y_rel = jnp.arange(crop_h, dtype=jnp.float32)
+        wy = jax.nn.relu(1.0 - jnp.abs(
+            y_rel[None, None, :] + sy_start[:, None, None].astype(jnp.float32)
+            - sy[..., None]))
+        t = jnp.einsum("npy,nyf->npf", wy.astype(imgs.dtype), win_flat,
+                       preferred_element_type=jnp.float32)
+        t = t.astype(imgs.dtype).reshape(n, tp, crop_w, c)
+        x_rel = jnp.arange(crop_w, dtype=jnp.float32)
+        wx = jax.nn.relu(1.0 - jnp.abs(
+            x_rel[None, None, :] + sx_start[:, None, None].astype(jnp.float32)
+            - sx[..., None]))
+        return jnp.sum(wx.astype(imgs.dtype)[..., None] * t, axis=2,
+                       dtype=jnp.float32)  # (N, tp, c)
+
+    out = jax.lax.map(one_tile, src.transpose(1, 0, 2, 3))  # (ntiles, N, tp, c)
+    out = out.transpose(1, 0, 2, 3).reshape(n, nty, ntx, th, tw, c)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, oh, ow, c)
+    return out[:, :out_h, :out_w].astype(imgs.dtype)
+
+
 def warp_rows_needed(mats, out_hw: Tuple[int, int], block: int = 1792) -> int:
     """Max source-y extent (rows) any pixel block needs under `mats` —
     pick crop_rows >= this (plus the function pads the band by 2)."""
@@ -317,12 +398,15 @@ def align_faces(imgs, landmarks, *, out_hw: Tuple[int, int] = (112, 96),
     imgs: (N, H, W, C); landmarks: (N, 5, 2) as (x, y).
     Returns (N, out_h, out_w, C) aligned crops (the on-device equivalent of
     gen_lfw112x96.align, lfw/gen_lfw112x96.py:6-17).
-    impl: 'mxu' (matmul warp, fast on TPU) or 'gather'.
+    impl: 'mxu' (matmul warp, fast on TPU, unconditional), 'tiled'
+    (fastest; 2-D source cropping — see warp_affine_tiled's transform
+    bound) or 'gather' (XLA gather reference).
     """
     if ref_pts is None:
         ref_pts = ARCFACE_REF_PTS
     ref = jnp.broadcast_to(jnp.asarray(ref_pts, jnp.float32),
                            landmarks.shape[:-2] + (5, 2))
     mats = cv2_transform(landmarks.astype(jnp.float32), ref)
-    warp = warp_affine_mxu if impl == "mxu" else warp_affine
+    warp = {"mxu": warp_affine_mxu, "tiled": warp_affine_tiled,
+            "gather": warp_affine}[impl]
     return warp(imgs, mats, out_hw=out_hw)
