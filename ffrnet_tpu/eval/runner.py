@@ -28,15 +28,16 @@ def make_pair_score_fn(cfg: RecNetConfig, *, num_layers: int = 50,
 
     @partial(jax.jit, static_argnames=())
     def score(enc_params, enc_state, rec_params, rec_state, img1, img2):
-        fm1, f1, _ = irse.apply(enc_params, enc_state, img1,
-                                num_layers=num_layers, mode=mode, training=False)
-        fm2, f2, _ = irse.apply(enc_params, enc_state, img2,
-                                num_layers=num_layers, mode=mode, training=False)
-        (f1_new, _), _ = recnet.apply(rec_params, rec_state, fm1, cfg=cfg,
-                                      training=False)
-        (f2_new, _), _ = recnet.apply(rec_params, rec_state, fm2, cfg=cfg,
-                                      training=False)
-        return pair_cosine(f1, f2), pair_cosine(f1_new, f2_new)
+        # single 2N pass through encoder+recnet (both in inference mode —
+        # identical numerics, half the dispatches)
+        n = img1.shape[0]
+        both = jnp.concatenate([img1, img2], axis=0)
+        fm, f, _ = irse.apply(enc_params, enc_state, both,
+                              num_layers=num_layers, mode=mode, training=False)
+        (f_new, _), _ = recnet.apply(rec_params, rec_state, fm, cfg=cfg,
+                                     training=False)
+        return (pair_cosine(f[:n], f[n:]),
+                pair_cosine(f_new[:n], f_new[n:]))
 
     return score
 

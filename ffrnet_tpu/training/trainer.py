@@ -93,10 +93,16 @@ def train_step(encoder_params, encoder_state, state: TrainState, batch,
         return tree_cast_floats(tree, half)
 
     enc_p, enc_s = cast(encoder_params), cast(encoder_state)
-    featmap_non, embed_non, _ = irse.apply(
-        enc_p, enc_s, cast(batch["img_non"]), training=False)
-    featmap_ocl, embed_ocl, _ = irse.apply(
-        enc_p, enc_s, cast(batch["img_ocl"]), training=False)
+    # one 2N encoder forward for both branches (frozen/eval mode: no batch
+    # statistics, so concatenation is numerically identical to two passes
+    # and halves conv dispatches)
+    n = batch["img_non"].shape[0]
+    both = jnp.concatenate(
+        [cast(batch["img_non"]), cast(batch["img_ocl"])], axis=0)
+    featmap_both, embed_both, _ = irse.apply(enc_p, enc_s, both,
+                                             training=False)
+    featmap_non, featmap_ocl = featmap_both[:n], featmap_both[n:]
+    embed_non, embed_ocl = embed_both[:n], embed_both[n:]
     labels = batch["label"]
 
     def loss_fn(params):
