@@ -26,3 +26,12 @@ utils/       logging, timing, image helpers
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (keeps `import ffrnet_tpu` light)
+    if name == "FFRNet":
+        from ffrnet_tpu.api import FFRNet
+
+        return FFRNet
+    raise AttributeError(f"module 'ffrnet_tpu' has no attribute {name!r}")
