@@ -104,3 +104,26 @@ def test_img_to_array(tmp_path):
     assert out.shape == (1, 20, 30, 3)
     np.testing.assert_allclose(
         out[0], arr[..., ::-1].astype(np.float32) / 255 * 2 - 1, atol=1e-6)
+
+
+def test_timer_sections_and_eta():
+    """Timer: scoped + mark-style recording on an injected clock."""
+    import pytest as _pytest
+
+    t = [0.0]
+    timer = Timer(clock=lambda: t[0])
+    with timer.section("Forward"):
+        t[0] += 2.0
+    t[0] += 1.0
+    timer.update_time("Backward")  # mark-style: since section exit
+    assert timer.iter_total == _pytest.approx(3.0)
+    assert timer.eta(10) == _pytest.approx(30.0)
+    assert timer.elapsed == _pytest.approx(3.0)
+    msg = timer.to_string(10)
+    assert "Forward|Backward" in msg and "IterTotal: 3.00s" in msg
+    # latest-value semantics: re-recording a section replaces, not accumulates
+    with timer.section("Forward"):
+        t[0] += 0.5
+    assert timer.iter_total == _pytest.approx(1.5)
+    timer.reset_timer()
+    assert timer.iter_total == 0.0
