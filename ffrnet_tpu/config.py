@@ -39,10 +39,15 @@ class Options:
     num_classes: int = 10575
     ss_impl: str = "xla"          # self-similarity implementation: xla|pallas
     compute_dtype: str = "fp32"   # fp32 | bf16 (mixed-precision training)
+    remat: int = 0                # rematerialize RecNet branches in backward
     # loss
     loss_weight: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     loss: str = "sphere"
     faithful_ce_weight: int = 1
+    # The reference applies a random paired hflip to EVAL pairs too
+    # (data/dataset.py:148-151 via LFWData), making reported accuracy
+    # seed-dependent. Default 0 = deterministic eval; set 1 to replicate.
+    faithful_eval_flip: int = 0
     # optimizer
     optimizer: str = "Adam"
     lr: float = 1e-2
@@ -108,6 +113,7 @@ class Options:
             loss_weight=tuple(self.loss_weight),
             faithful_ce_weight=bool(self.faithful_ce_weight),
             compute_dtype=self.compute_dtype,
+            remat=bool(self.remat),
             recnet=RecNetConfig(num_classes=self.num_classes,
                                 ss_impl=self.ss_impl),
         )
@@ -132,11 +138,14 @@ def parse_args(argv: Optional[List[str]] = None, *, make_dirs: bool = True) -> O
     p.add_argument("--ss_impl", type=str, default=defaults.ss_impl)
     p.add_argument("--compute_dtype", type=str, default=defaults.compute_dtype,
                    choices=["fp32", "bf16"])
+    p.add_argument("--remat", type=int, default=defaults.remat)
     p.add_argument("--loss_weight", type=float, nargs=4,
                    default=list(defaults.loss_weight))
     p.add_argument("--loss", type=str, default=defaults.loss)
     p.add_argument("--faithful_ce_weight", type=int,
                    default=defaults.faithful_ce_weight)
+    p.add_argument("--faithful_eval_flip", type=int,
+                   default=defaults.faithful_eval_flip)
     p.add_argument("--optimizer", type=str, default=defaults.optimizer)
     p.add_argument("--lr", type=float, default=defaults.lr)
     p.add_argument("--beta1", type=float, default=defaults.beta1)

@@ -78,7 +78,10 @@ def make_train_dataset(opts: Options):
 
 
 def make_eval_batches(opts: Options, ocl_num: int, batch_size: int):
-    ds = LfwPairs(opts.test_data, opts.test_pair_list, test_ocl_num=ocl_num)
+    # flip_prob=0 pins eval determinism; the reference's random eval-time
+    # flip (data/dataset.py:148-151) is opt-in via --faithful_eval_flip 1.
+    ds = LfwPairs(opts.test_data, opts.test_pair_list, test_ocl_num=ocl_num,
+                  flip_prob=0.5 if opts.faithful_eval_flip else 0.0)
     loader = BatchLoader(ds, batch_size, shuffle=False, drop_last=False,
                          seed=opts.seed, num_threads=opts.n_thread)
     return loader.epoch(0)

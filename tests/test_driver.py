@@ -95,3 +95,26 @@ def test_graft_entry_single_chip():
     assert embed.shape == (8, 512)
     assert feat_v.shape == (8, 512)
     assert feat_new.shape == (8, 7, 7, 512)
+
+
+def test_eval_batches_deterministic_by_default(lfw_tree):
+    """Driver eval pins flip_prob=0: identical eval batches across seeds
+    (the reference's random eval flip is opt-in via --faithful_eval_flip)."""
+    from ffrnet_tpu.config import Options
+    from ffrnet_tpu.data.datasets import _listdir_cached
+    from ffrnet_tpu.train import make_eval_batches
+
+    _listdir_cached.cache_clear()
+    root, pairs = lfw_tree
+
+    def first_epoch(seed, faithful=0):
+        opts = Options(test_data=str(root), test_pair_list=str(pairs),
+                       seed=seed, n_thread=2,
+                       faithful_eval_flip=faithful).finalize(make_dirs=False)
+        return np.concatenate(
+            [np.asarray(b["img1"]) for b in make_eval_batches(opts, 0, 20)])
+
+    np.testing.assert_array_equal(first_epoch(1), first_epoch(2))
+    # faithful mode restores the reference's seed-dependent flips
+    assert not np.array_equal(first_epoch(1, faithful=1),
+                              first_epoch(2, faithful=1))
