@@ -97,12 +97,17 @@ class FFRNet:
         return self._embed(jnp.asarray(images))
 
     def verify(self, img1, img2, *, rectified: bool = True) -> jnp.ndarray:
-        """Per-pair cosine scores (the reference's verification distance)."""
+        """Per-pair cosine scores (the reference's verification distance).
+
+        Both sides are embedded in ONE 2N-batch dispatch (the same fusion
+        the eval runner uses) instead of two N-batch encoder calls."""
         from ffrnet_tpu.eval.lfw import pair_cosine
 
-        r1, n1 = self.embed(img1)
-        r2, n2 = self.embed(img2)
-        return pair_cosine(n1, n2) if rectified else pair_cosine(r1, r2)
+        img1, img2 = jnp.asarray(img1), jnp.asarray(img2)
+        n = img1.shape[0]
+        raw, rect, _ = self._embed(jnp.concatenate([img1, img2], axis=0))
+        emb = rect if rectified else raw
+        return pair_cosine(emb[:n], emb[n:])
 
     def evaluate(self, batches: Iterable) -> Tuple[float, float]:
         """Full 10-fold protocol over {'img1','img2','label'} batches ->

@@ -87,6 +87,28 @@ def kfold_verification(scores, labels, *, n_folds: int = N_FOLDS) -> FoldResult:
     )
 
 
+def misclassified_indices(scores, labels, result: FoldResult,
+                          *, n_folds: int = N_FOLDS):
+    """Global indices of pairs misclassified by their own fold's threshold.
+
+    Mirrors the wrong-pair collection the reference's eval_acc performs when
+    save_wrong is set (lfw/lfw_eval.py:137-162): each fold's best threshold
+    is applied to that fold's held-out pairs; a pair is wrong when
+    (score > threshold) != label. Host-side numpy — this feeds image dumps,
+    not the hot path.
+    """
+    import numpy as np
+
+    scores = np.asarray(scores)
+    labels = np.asarray(labels) > 0
+    thresholds = np.asarray(result.best_thresholds)
+    per_fold = scores.shape[0] // n_folds
+    n_used = per_fold * n_folds
+    fold_of = np.arange(n_used) // per_fold
+    pred = scores[:n_used] > thresholds[fold_of]
+    return np.nonzero(pred != labels[:n_used])[0]
+
+
 @jax.jit
 def verification_from_embeddings(f1, f2, f1_new, f2_new, labels):
     """raw + rectified accuracies from pair embeddings.

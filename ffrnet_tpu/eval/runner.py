@@ -62,3 +62,33 @@ def evaluate_pairs(enc_params, enc_state, rec_params, rec_state,
     lab = jnp.asarray(np.concatenate(labels))
     return (kfold_verification(scores_new, lab),
             kfold_verification(scores_raw, lab))
+
+
+def save_wrong_images(dataset, wrong_idx, out_dir: str) -> int:
+    """Dump misclassified verification pairs as PNG files.
+
+    Rebuild of the reference's save_wrong_imgs (lfw/lfw_eval.py:120-135):
+    re-load each wrong pair from its dataset (MaskVerificationPairs /
+    LfwPairs — anything with .get(idx, rng) -> {'img1','img2'} in [-1, 1]
+    BGR), denormalize, and write {idx:04d}_1.png / _2.png under out_dir.
+    The raw-vs-rectified split the reference encodes in two hardcoded dirs
+    ('./wrong_images' vs './wrong_images_new') is the caller's out_dir
+    choice here. Pass a dataset with flip_prob=0 for reproducible dumps.
+    Returns the number of files written.
+    """
+    import os
+
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    written = 0
+    for i in np.asarray(wrong_idx).ravel():
+        sample = dataset.get(int(i), rng)
+        for key, suffix in (("img1", "_1"), ("img2", "_2")):
+            bgr = np.clip(sample[key] * 0.5 + 0.5, 0.0, 1.0)
+            rgb = (bgr[:, :, ::-1] * 255.0).round().astype(np.uint8)
+            Image.fromarray(rgb).save(
+                os.path.join(out_dir, f"{int(i):04d}{suffix}.png"))
+            written += 1
+    return written

@@ -76,3 +76,44 @@ def test_pair_cosine_epsilon():
     np.testing.assert_allclose(
         np.asarray(pair_cosine(jnp.asarray(a), jnp.asarray(b))), expected,
         atol=1e-6, rtol=1e-6)
+
+
+def test_misclassified_indices_and_wrong_image_dump(tmp_path):
+    """save_wrong_imgs equivalent (lfw/lfw_eval.py:120-135): per-fold
+    thresholds -> wrong-pair indices -> PNG dump."""
+    import os
+
+    from ffrnet_tpu.eval.lfw import misclassified_indices
+    from ffrnet_tpu.eval.runner import save_wrong_images
+
+    n = 60
+    labels = np.tile([1, 0], n // 2).astype(np.int64)
+    scores = np.where(labels > 0, 0.8, -0.2).astype(np.float32)
+    planted = [4, 11, 28]
+    for i in planted:
+        scores[i] = -scores[i]  # cross the margin
+    res = kfold_verification(jnp.asarray(scores), jnp.asarray(labels),
+                             n_folds=10)
+    wrong = misclassified_indices(scores, labels, res, n_folds=10)
+
+    # mirror: each fold's threshold applied to its own pairs
+    thr = np.asarray(res.best_thresholds)
+    expected = [i for i in range(n)
+                if (scores[i] > thr[i // (n // 10)]) != (labels[i] > 0)]
+    assert wrong.tolist() == expected
+    # flipped same-person pairs land at score -0.8 — wrong at any chosen
+    # threshold, so they must be reported
+    assert {4, 28} <= set(wrong.tolist())
+
+    class _FakePairs:
+        def get(self, idx, rng):
+            v = np.full((8, 8, 3), idx / 100.0, np.float32)
+            return {"img1": v, "img2": -v}
+
+    out_dir = tmp_path / "wrong_images_new"
+    take = wrong[:3]
+    n_files = save_wrong_images(_FakePairs(), take, str(out_dir))
+    assert n_files == 2 * len(take) > 0
+    names = sorted(os.listdir(out_dir))
+    assert names[0] == f"{int(wrong[0]):04d}_1.png"
+    assert len(names) == n_files
