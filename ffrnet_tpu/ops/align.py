@@ -325,12 +325,96 @@ def warp_affine_tiled(imgs, mats, *, out_hw: Tuple[int, int],
     return out[:, :out_h, :out_w].astype(imgs.dtype)
 
 
+def _invert_2x3_np(mats) -> np.ndarray:
+    """Host-side (numpy) twin of _invert_2x3 for cheap guard checks —
+    keeps guard math off the device (a device round-trip costs ~50ms
+    through this image's TPU relay)."""
+    m = np.asarray(mats, np.float64)
+    a, t = m[..., :2], m[..., 2]
+    det = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    ainv = np.stack([
+        np.stack([a[..., 1, 1], -a[..., 0, 1]], axis=-1),
+        np.stack([-a[..., 1, 0], a[..., 0, 0]], axis=-1),
+    ], axis=-2) / det[..., None, None]
+    tinv = -np.einsum("...ij,...j->...i", ainv, t)
+    return np.concatenate([ainv, tinv[..., None]], axis=-1)
+
+
+def warp_tile_extent(mats, tile: Tuple[int, int]) -> Tuple[int, int]:
+    """Max (rows, cols) of source window any (tile_h, tile_w) output tile
+    can touch under `mats` — the bound warp_affine_tiled's `crop` must
+    satisfy. Host-side numpy; see warp_tile_bound_ok."""
+    inv = _invert_2x3_np(mats)
+    th, tw = tile
+    # src_y = inv10*x + inv11*y + ty ; src_x = inv00*x + inv01*y + tx
+    rows = np.abs(inv[..., 1, 1]) * (th - 1) + np.abs(inv[..., 1, 0]) * (tw - 1)
+    cols = np.abs(inv[..., 0, 0]) * (tw - 1) + np.abs(inv[..., 0, 1]) * (th - 1)
+    # +3: floor(min)-1 window anchor, +1 bilinear tap past max, +1 rounding
+    return int(np.ceil(rows.max())) + 3, int(np.ceil(cols.max())) + 3
+
+
+def warp_tile_bound_ok(mats, tile: Tuple[int, int],
+                       crop: Tuple[int, int]) -> bool:
+    """True iff every tile's source extent under `mats` fits `crop` —
+    the precondition under which warp_affine_tiled is exact."""
+    rows, cols = warp_tile_extent(mats, tile)
+    return rows <= crop[0] and cols <= crop[1]
+
+
+def _similarity_inv_abs_np(src_pts, dst_pts):
+    """(|sc|, |ss|) of the dst->src linear map of the cp2tform similarity
+    fit, per batch element — pure numpy, no device work.
+
+    Numpy twin of _solve_nonreflective's normal equations: the solved
+    r = (sc, ss, tx, ty) IS the dst->src ("Tinv") linear part
+    [[sc, -ss], [ss, sc]] (lfw/matlab_cp2tform.py:311-320). Taken as the
+    elementwise max over the direct and Y-reflected fits, so it upper-bounds
+    whichever variant findSimilarity picks.
+    """
+    src = np.asarray(src_pts, np.float64)
+    dst = np.asarray(dst_pts, np.float64)
+
+    def fit(uv, xy):
+        x, y = xy[..., 0], xy[..., 1]
+        u, v = uv[..., 0], uv[..., 1]
+        k = x.shape[-1]
+        sxx = (x * x + y * y).sum(-1)
+        sx, sy = x.sum(-1), y.sum(-1)
+        zero, kk = np.zeros_like(sx), np.full_like(sx, float(k))
+        xtx = np.stack([
+            np.stack([sxx, zero, sx, sy], axis=-1),
+            np.stack([zero, sxx, sy, -sx], axis=-1),
+            np.stack([sx, sy, kk, zero], axis=-1),
+            np.stack([sy, -sx, zero, kk], axis=-1),
+        ], axis=-2)
+        xtu = np.stack([(x * u + y * v).sum(-1), (y * u - x * v).sum(-1),
+                        u.sum(-1), v.sum(-1)], axis=-1)
+        r = np.linalg.solve(xtx, xtu[..., None])[..., 0]
+        return np.abs(r[..., 0]), np.abs(r[..., 1])
+
+    sc1, ss1 = fit(src, dst)
+    sc2, ss2 = fit(src, dst * np.asarray([-1.0, 1.0]))
+    return np.maximum(sc1, sc2), np.maximum(ss1, ss2)
+
+
+def align_tile_bound_ok(landmarks, ref_pts, tile: Tuple[int, int],
+                        crop: Tuple[int, int]) -> bool:
+    """Host-side guard for align_faces(impl='tiled'): True iff the tiled
+    warp's per-tile source window provably covers every transform the
+    batch's landmarks induce. src_y spans |sc|*(th-1) + |ss|*(tw-1) over a
+    (th, tw) tile (and transposed for src_x); +3 covers the window anchor
+    and bilinear taps (see warp_tile_extent)."""
+    sc, ss = _similarity_inv_abs_np(landmarks, ref_pts)
+    th, tw = tile
+    rows = float((sc * (th - 1) + ss * (tw - 1)).max()) + 3
+    cols = float((sc * (tw - 1) + ss * (th - 1)).max()) + 3
+    return rows <= crop[0] and cols <= crop[1]
+
+
 def warp_rows_needed(mats, out_hw: Tuple[int, int], block: int = 1792) -> int:
     """Max source-y extent (rows) any pixel block needs under `mats` —
     pick crop_rows >= this (plus the function pads the band by 2)."""
-    import numpy as np
-
-    inv = np.asarray(_invert_2x3(jnp.asarray(mats, jnp.float32)))
+    inv = _invert_2x3_np(mats)
     out_h, out_w = out_hw
     # a block of `block` pixels can straddle row boundaries: it spans up to
     # ceil(block/out_w) + 1 output rows when block % out_w != 0
@@ -392,21 +476,35 @@ def warp_affine(imgs, mats, *, out_hw: Tuple[int, int]):
 
 
 def align_faces(imgs, landmarks, *, out_hw: Tuple[int, int] = (112, 96),
-                ref_pts=None, impl: str = "mxu"):
+                ref_pts=None, impl: str = "mxu", check_bound: bool = True):
     """End-to-end batched alignment: landmarks -> cp2tform -> warp.
 
     imgs: (N, H, W, C); landmarks: (N, 5, 2) as (x, y).
     Returns (N, out_h, out_w, C) aligned crops (the on-device equivalent of
     gen_lfw112x96.align, lfw/gen_lfw112x96.py:6-17).
     impl: 'mxu' (matmul warp, fast on TPU, unconditional), 'tiled'
-    (fastest; 2-D source cropping — see warp_affine_tiled's transform
-    bound) or 'gather' (XLA gather reference).
+    (fastest; 2-D source cropping, exact only within a per-tile source
+    extent bound) or 'gather' (XLA gather reference).
+
+    check_bound (impl='tiled' only): verify the tile bound on the host from
+    the concrete transforms and silently fall back to warp_affine_mxu when
+    a batch violates it — no input can produce corrupted pixels. The check
+    solves cp2tform on the host (microseconds, avoids a device round-trip);
+    callers timing a hot loop with known-safe transforms may pass
+    check_bound=False.
     """
     if ref_pts is None:
         ref_pts = ARCFACE_REF_PTS
     ref = jnp.broadcast_to(jnp.asarray(ref_pts, jnp.float32),
                            landmarks.shape[:-2] + (5, 2))
     mats = cv2_transform(landmarks.astype(jnp.float32), ref)
+    if impl == "tiled" and check_bound:
+        # numpy-only guard (landmarks arrive as host arrays on every real
+        # ingest path; if they are device arrays this is one small fetch)
+        defaults = warp_affine_tiled.__wrapped__.__kwdefaults__
+        if not align_tile_bound_ok(np.asarray(landmarks), np.asarray(ref_pts),
+                                   defaults["tile"], defaults["crop"]):
+            impl = "mxu"
     warp = {"mxu": warp_affine_mxu, "tiled": warp_affine_tiled,
             "gather": warp_affine}[impl]
     return warp(imgs, mats, out_hw=out_hw)
