@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--optimizer", type=str, default="adam")
     p.add_argument("--num_classes", type=int, default=10575)
     p.add_argument("--dtype", type=str, default="fp32", choices=["fp32", "bf16"])
+    p.add_argument("--remat", type=int, default=0,
+                   help="jax.checkpoint the RecNet branches (recompute in "
+                        "backward; measures the remat-vs-store tradeoff)")
     args = p.parse_args(argv)
 
     import jax
@@ -37,7 +40,7 @@ def main(argv=None):
         TrainerConfig, create_train_state, train_step)
 
     cfg = TrainerConfig(optimizer=args.optimizer, lr=1e-3,
-                        compute_dtype=args.dtype,
+                        compute_dtype=args.dtype, remat=bool(args.remat),
                         recnet=RecNetConfig(num_classes=args.num_classes))
     enc_params, enc_state = irse.init(jax.random.PRNGKey(0))
     state = create_train_state(jax.random.PRNGKey(1), cfg)
@@ -76,6 +79,7 @@ def main(argv=None):
         "unit": "imgs/s",
         "batch": args.batch,
         "dtype": args.dtype,
+        "remat": bool(args.remat),
         "step_ms": round(1e3 * dt / args.iters, 2),
     }))
 

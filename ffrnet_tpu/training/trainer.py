@@ -48,6 +48,9 @@ class TrainerConfig:
     faithful_ce_weight: bool = True
     compute_dtype: str = "fp32"  # 'bf16' = mixed precision: bf16 fwd/bwd,
     # fp32 master params / optimizer / loss reductions / BN statistics
+    remat: bool = False  # jax.checkpoint the RecNet branches: recompute
+    # activations in the backward pass instead of storing them (trades
+    # ~1/3 more RecNet FLOPs for lower HBM residency -> larger batches)
     recnet: RecNetConfig = field(default_factory=RecNetConfig)
 
     def lr_schedule(self):
@@ -74,45 +77,79 @@ def create_train_state(rng, cfg: TrainerConfig) -> TrainState:
                       jnp.zeros([], jnp.int32))
 
 
-def train_step(encoder_params, encoder_state, state: TrainState, batch,
-               *, cfg: TrainerConfig):
-    """One optimization step. batch: dict with
-    'img_non'/'img_ocl' (N,112,112,3) in [-1,1] BGR and 'label' (N,).
+def _half_dtype(compute_dtype: str):
+    if compute_dtype not in ("fp32", "bf16"):
+        raise ValueError(f"compute_dtype must be fp32|bf16, "
+                         f"got {compute_dtype!r}")
+    return jnp.bfloat16 if compute_dtype == "bf16" else None
 
-    Returns (new_state, metrics). Pure — jit/pjit it (cfg is static).
+
+def encode_frozen(encoder_params, encoder_state, batch, *,
+                  compute_dtype: str = "fp32") -> Dict[str, Any]:
+    """Frozen-encoder forward for one paired batch -> feature dict.
+
+    One 2N pass through IR-SE50 in inference mode (frozen/eval: no batch
+    statistics, so concatenating the clean and masked branches is
+    numerically identical to the reference's two passes,
+    models/trainer.py:139-146, and halves conv dispatches).
+
+    Because the encoder never trains, these features are a pure function of
+    (sample, flip): they can be computed ONCE per dataset and cached, making
+    every later epoch a RecNet-only step at roughly a third of the FLOPs —
+    see train_step_from_features.
+    """
+    from ffrnet_tpu.ops.nn import tree_cast_floats
+
+    half = _half_dtype(compute_dtype)
+
+    def cast(tree):
+        return tree_cast_floats(tree, half)
+
+    enc_p, enc_s = cast(encoder_params), cast(encoder_state)
+    n = batch["img_non"].shape[0]
+    both = jnp.concatenate(
+        [cast(batch["img_non"]), cast(batch["img_ocl"])], axis=0)
+    featmap_both, embed_both, _ = irse.apply(enc_p, enc_s, both,
+                                             training=False)
+    return {
+        "featmap_non": featmap_both[:n], "featmap_ocl": featmap_both[n:],
+        "embed_non": embed_both[:n], "embed_ocl": embed_both[n:],
+        "label": batch["label"],
+    }
+
+
+def train_step_from_features(state: TrainState, feats, *, cfg: TrainerConfig):
+    """RecNet-only optimization step from frozen-encoder features.
+
+    feats: output of encode_frozen (fresh or cached). Identical numerics to
+    train_step — the reference has no cached-feature mode (it re-runs the
+    frozen encoder every step, models/trainer.py:139-146); this is the
+    TPU-side decomposition that makes feature caching possible.
     """
     rc = cfg.recnet
-    if cfg.compute_dtype not in ("fp32", "bf16"):
-        raise ValueError(f"compute_dtype must be fp32|bf16, "
-                         f"got {cfg.compute_dtype!r}")
-    half = jnp.bfloat16 if cfg.compute_dtype == "bf16" else None
+    half = _half_dtype(cfg.compute_dtype)
 
     from ffrnet_tpu.ops.nn import tree_cast_floats
 
     def cast(tree):
         return tree_cast_floats(tree, half)
 
-    enc_p, enc_s = cast(encoder_params), cast(encoder_state)
-    # one 2N encoder forward for both branches (frozen/eval mode: no batch
-    # statistics, so concatenation is numerically identical to two passes
-    # and halves conv dispatches)
-    n = batch["img_non"].shape[0]
-    both = jnp.concatenate(
-        [cast(batch["img_non"]), cast(batch["img_ocl"])], axis=0)
-    featmap_both, embed_both, _ = irse.apply(enc_p, enc_s, both,
-                                             training=False)
-    featmap_non, featmap_ocl = featmap_both[:n], featmap_both[n:]
-    embed_non, embed_ocl = embed_both[:n], embed_both[n:]
-    labels = batch["label"]
+    featmap_non, featmap_ocl = feats["featmap_non"], feats["featmap_ocl"]
+    embed_non, embed_ocl = feats["embed_non"], feats["embed_ocl"]
+    labels = feats["label"]
+
+    def branch(p, st, featmap):
+        return recnet.apply(p, st, featmap, labels, cfg=rc, training=True)
+
+    if cfg.remat:
+        branch = jax.checkpoint(branch)
 
     def loss_fn(params):
         # mixed precision: bf16 compute params; grads flow back to the fp32
         # masters through the cast (loss reductions stay fp32, losses.py)
         p = cast(params)
-        out_non, st1 = recnet.apply(p, state.model_state, featmap_non,
-                                    labels, cfg=rc, training=True)
-        out_ocl, st2 = recnet.apply(p, st1, featmap_ocl,
-                                    labels, cfg=rc, training=True)
+        out_non, st1 = branch(p, state.model_state, featmap_non)
+        out_ocl, st2 = branch(p, st1, featmap_ocl)
         lb = losses.ffrnet_objective(
             featmap_non=featmap_non, embed_non=embed_non, embed_ocl=embed_ocl,
             out_non=out_non, out_ocl=out_ocl, labels=labels,
@@ -141,6 +178,19 @@ def train_step(encoder_params, encoder_state, state: TrainState, batch,
     return new_state, metrics
 
 
+def train_step(encoder_params, encoder_state, state: TrainState, batch,
+               *, cfg: TrainerConfig):
+    """One optimization step. batch: dict with
+    'img_non'/'img_ocl' (N,112,112,3) in [-1,1] BGR and 'label' (N,).
+
+    Returns (new_state, metrics). Pure — jit/pjit it (cfg is static).
+    Composition of encode_frozen + train_step_from_features.
+    """
+    feats = encode_frozen(encoder_params, encoder_state, batch,
+                          compute_dtype=cfg.compute_dtype)
+    return train_step_from_features(state, feats, cfg=cfg)
+
+
 def _opt_state_shardings(mesh, opt_state, cls_shape):
     """Replicate optimizer state except moments matching the classifier
     weight shape, which shard over 'model' like the weight itself."""
@@ -155,6 +205,17 @@ def _opt_state_shardings(mesh, opt_state, cls_shape):
     return jax.tree.map(leaf, opt_state)
 
 
+def _train_state_shardings(mesh, state: TrainState) -> TrainState:
+    rep = replicated(mesh)
+    cls_shape = state.params["classifier"]["w"].shape
+    return TrainState(
+        params=recnet_param_shardings(mesh, state.params),
+        model_state=jax.tree.map(lambda _: rep, state.model_state),
+        opt_state=_opt_state_shardings(mesh, state.opt_state, cls_shape),
+        step=rep,
+    )
+
+
 def make_distributed_step(mesh, cfg: TrainerConfig, encoder_params,
                           encoder_state, state: TrainState):
     """Bind train_step to a mesh.
@@ -164,14 +225,8 @@ def make_distributed_step(mesh, cfg: TrainerConfig, encoder_params,
     already sharded over 'data' (see ffrnet_tpu.parallel.batch_sharding).
     """
     rep = replicated(mesh)
-    p_shard = recnet_param_shardings(mesh, state.params)
-    cls_shape = state.params["classifier"]["w"].shape
-    state_shard = TrainState(
-        params=p_shard,
-        model_state=jax.tree.map(lambda _: rep, state.model_state),
-        opt_state=_opt_state_shardings(mesh, state.opt_state, cls_shape),
-        step=rep,
-    )
+    state_shard = _train_state_shardings(mesh, state)
+    p_shard = state_shard.params
     enc_p_shard = jax.tree.map(lambda _: rep, encoder_params)
     enc_s_shard = jax.tree.map(lambda _: rep, encoder_state)
     bs = batch_sharding(mesh)
@@ -193,5 +248,38 @@ def make_distributed_step(mesh, cfg: TrainerConfig, encoder_params,
             jax.device_put(state.opt_state, state_shard.opt_state),
             jax.device_put(state.step, rep),
         ),
+    )
+    return step, placed
+
+
+FEATURE_KEYS = ("featmap_non", "featmap_ocl", "embed_non", "embed_ocl",
+                "label")
+
+
+def make_distributed_feature_step(mesh, cfg: TrainerConfig,
+                                  state: TrainState):
+    """Bind train_step_from_features to a mesh (feature-cached training).
+
+    With the encoder frozen, its features can be computed once and streamed
+    in like data; the per-step program is then RecNet-only. Returns
+    (jitted_step, placed_state); call as step(state, feats) with every
+    FEATURE_KEYS entry sharded over 'data'.
+    """
+    rep = replicated(mesh)
+    state_shard = _train_state_shardings(mesh, state)
+    bs = batch_sharding(mesh)
+    feats_shard = {k: bs for k in FEATURE_KEYS}
+
+    step = jax.jit(
+        partial(train_step_from_features, cfg=cfg),
+        in_shardings=(state_shard, feats_shard),
+        out_shardings=(state_shard, rep),
+        donate_argnums=(0,),
+    )
+    placed = TrainState(
+        jax.device_put(state.params, state_shard.params),
+        jax.device_put(state.model_state, state_shard.model_state),
+        jax.device_put(state.opt_state, state_shard.opt_state),
+        jax.device_put(state.step, rep),
     )
     return step, placed
