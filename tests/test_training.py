@@ -268,3 +268,159 @@ def test_train_step_bf16_mixed_precision():
     # BN running stats stay fp32
     leaf = state.model_state["merge"]["c"]["norm"]["mean"]
     assert leaf.dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_objective_converges_on_synthetic_identities(tmp_path):
+    """The 4-part objective actually LEARNS, not merely decreases: full real
+    model (random-init frozen IR-SE50 + RecNet), 64 synthetic identities,
+    trained until masked-branch TrainAcc > 0.9 and the triplet pos/neg gap
+    opens. Frozen-encoder features are precomputed once (encode_frozen) —
+    numerically identical to per-step recompute and ~10x faster on the
+    1-core CPU runner. Reference protocol: train.py:40-97 +
+    models/trainer.py:139-180."""
+    import functools
+    import json
+    import os
+
+    from ffrnet_tpu.data.datasets import SyntheticPairs
+    from ffrnet_tpu.training.trainer import (encode_frozen,
+                                             train_step_from_features)
+
+    n_ids = 64
+    ds = SyntheticPairs(num_identities=n_ids, samples_per_id=1, seed=3)
+    rng = np.random.default_rng(0)
+    samples = [ds.get(i, rng) for i in range(len(ds))]
+    batch_all = {k: np.stack([s[k] for s in samples])
+                 for k in ("img_non", "img_ocl", "label")}
+
+    enc_p, enc_s = irse.init(jax.random.PRNGKey(0))
+    enc = jax.jit(functools.partial(encode_frozen, compute_dtype="fp32"))
+    chunks = []
+    for i in range(0, n_ids, 16):
+        fb = {k: jnp.asarray(v[i:i + 16]) for k, v in batch_all.items()}
+        chunks.append(jax.tree.map(np.asarray, enc(enc_p, enc_s, fb)))
+    feats_all = {k: jnp.asarray(np.concatenate([c[k] for c in chunks]))
+                 for k in chunks[0]}
+
+    cfg = TrainerConfig(optimizer="adam", lr=1e-3,
+                        recnet=RecNetConfig(num_classes=n_ids))
+    state = create_train_state(jax.random.PRNGKey(1), cfg)
+    step = jax.jit(functools.partial(train_step_from_features, cfg=cfg))
+
+    # Minibatch 32 keeps the 1-core CPU runtime ~4 min. A full 73-step
+    # full-batch run of this exact setup (acc 0.016 -> 1.0 by step 11,
+    # triplet gap -0.003 -> +0.09) is committed as
+    # docs/convergence_curve.json; set FFRNET_CONVERGENCE_FULL=1 to
+    # reproduce it (gap > 0.09 exit, ~30 min on CPU, seconds on TPU).
+    full = os.environ.get("FFRNET_CONVERGENCE_FULL") == "1"
+    batch, min_it, gap_exit = (64, 30, 0.09) if full else (32, 16, 0.015)
+    order = np.random.default_rng(1)
+    curve = []
+    acc = gap = 0.0
+    for it in range(300):
+        idx = jnp.asarray(order.choice(n_ids, batch, replace=batch > n_ids))
+        fb = jax.tree.map(lambda x: x[idx], feats_all)
+        state, m = step(state, fb)
+        acc = float(m["TrainAcc"])
+        gap = float(m["NegDist"]) - float(m["PosDist"])
+        curve.append({"iter": it + 1, "total": float(m["TotalLoss"]),
+                      "acc": acc, "gap": gap,
+                      "triplet": float(m["TripletLoss"]),
+                      "classifier": float(m["ClassifierLoss"])})
+        if acc > 0.95 and gap > gap_exit and it + 1 >= min_it:
+            break
+
+    (tmp_path / "convergence_curve.json").write_text(json.dumps(curve))
+    out = os.environ.get("FFRNET_CONVERGENCE_ARTIFACT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(curve, f, indent=1)
+
+    assert acc > 0.9, f"TrainAcc stalled at {acc} after {len(curve)} steps"
+    assert gap > 0.01, f"triplet gap failed to open: {gap}"
+    assert gap > curve[0]["gap"] + 0.01, (curve[0], curve[-1])
+    assert curve[-1]["total"] < curve[0]["total"] / 2
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step():
+    """Multi-process for real (not simulated process_index): 2 CPU
+    processes x 4 devices run jax.distributed.initialize, per-process
+    loader shards, make_array_from_process_local_data assembly, and the
+    pjit dp x tp train step; both must take equal steps and compute
+    identical (replicated) losses. Capability surpassed: the reference's
+    single-process DataParallel (models/trainer.py:70-72)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    script = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    results = sorted(line for out in outs for line in out.splitlines()
+                     if line.startswith("RESULT"))
+    assert len(results) == 2, outs
+    # strip the per-process id; steps and losses must match exactly
+    tail0 = results[0].split(" ", 2)[2]
+    tail1 = results[1].split(" ", 2)[2]
+    assert tail0 == tail1, results
+    assert "steps=2" in tail0
+
+
+def test_remat_step_matches_plain():
+    """cfg.remat=True (jax.checkpoint over the RecNet branches) must be a
+    pure memory/FLOPs tradeoff — bitwise-equivalent-to-tolerance update."""
+    import dataclasses
+    import functools
+
+    from ffrnet_tpu.training.trainer import train_step_from_features
+
+    rng = np.random.default_rng(0)
+
+    def arr(*shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+    e1, e2 = np.asarray(arr(2, 512)), np.asarray(arr(2, 512))
+    feats = {
+        "featmap_non": arr(2, 7, 7, 512), "featmap_ocl": arr(2, 7, 7, 512),
+        "embed_non": jnp.asarray(e1 / np.linalg.norm(e1, axis=1, keepdims=True)),
+        "embed_ocl": jnp.asarray(e2 / np.linalg.norm(e2, axis=1, keepdims=True)),
+        "label": jnp.asarray([0, 1]),
+    }
+    cfg = TrainerConfig(optimizer="adam", lr=1e-3,
+                        recnet=RecNetConfig(num_classes=8))
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    state = create_train_state(jax.random.PRNGKey(1), cfg)
+    s1, m1 = jax.jit(functools.partial(
+        train_step_from_features, cfg=cfg))(state, feats)
+    s2, m2 = jax.jit(functools.partial(
+        train_step_from_features, cfg=cfg_r))(state, feats)
+    np.testing.assert_allclose(float(m1["TotalLoss"]), float(m2["TotalLoss"]),
+                               rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                 s1.params, s2.params)
