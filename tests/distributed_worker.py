@@ -1,0 +1,90 @@
+"""Worker process for the 2-process distributed integration test.
+
+Not a test module — spawned by test_training.py::
+test_two_process_distributed_train_step with argv = (process_id,
+num_processes, coordinator_port). Each process owns 4 virtual CPU devices
+(XLA_FLAGS set by the parent); together they form the 8-device global mesh
+the single-process tests fake. Exercises for real:
+
+  * jax.distributed.initialize (the TPU-native replacement for the
+    reference's in-process DataParallel, models/trainer.py:70-72)
+  * BatchLoader per-process shard slicing + equal-step truncation
+  * jax.make_array_from_process_local_data global-batch assembly
+  * the pjit'd dp x tp train step with cross-process collectives
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    proc_id, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nprocs, process_id=proc_id)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import numpy as np
+
+    from ffrnet_tpu.data.pipeline import BatchLoader
+    from ffrnet_tpu.models.recnet import RecNetConfig
+    from ffrnet_tpu.parallel.mesh import batch_sharding, make_mesh
+    from ffrnet_tpu.training.trainer import (
+        FEATURE_KEYS, TrainerConfig, create_train_state,
+        make_distributed_feature_step)
+
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert jax.local_device_count() == 4, jax.local_device_count()
+    assert jax.device_count() == 4 * nprocs, jax.device_count()
+
+    class SyntheticFeatures:
+        """Deterministic frozen-encoder-feature stand-in: the feature-level
+        step is RecNet-only, which keeps the two-process compile light
+        enough for the 1-core CI box (the full image-level distributed step
+        is covered single-process in test_distributed_train_step_dp_tp)."""
+
+        def __len__(self):
+            return 32
+
+        def get(self, idx, rng):
+            r = np.random.default_rng(idx)  # rng-independent: bitwise equal
+            e1 = r.standard_normal(512).astype(np.float32)
+            e2 = r.standard_normal(512).astype(np.float32)
+            return {
+                "featmap_non": r.standard_normal((7, 7, 512)).astype(np.float32),
+                "featmap_ocl": r.standard_normal((7, 7, 512)).astype(np.float32),
+                "embed_non": e1 / np.linalg.norm(e1),
+                "embed_ocl": e2 / np.linalg.norm(e2),
+                "label": np.int32(idx % 16),
+            }
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = TrainerConfig(optimizer="adam", lr=1e-3,
+                        recnet=RecNetConfig(num_classes=16))
+    state = create_train_state(jax.random.PRNGKey(1), cfg)
+    step, state = make_distributed_feature_step(mesh, cfg, state)
+
+    bs = batch_sharding(mesh)
+    loader = BatchLoader(
+        SyntheticFeatures(), batch_size=8, shuffle=True, drop_last=True,
+        seed=7, num_threads=2, sharding={k: bs for k in FEATURE_KEYS})
+    assert loader.process_count == nprocs
+    assert loader.local_batch == 8 // nprocs
+
+    losses = []
+    for steps, batch in enumerate(loader.epoch(0), start=1):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["TotalLoss"]))
+        if steps >= 2:
+            break
+    print(f"RESULT {proc_id} steps={len(losses)} "
+          f"losses={' '.join(f'{v:.6f}' for v in losses)}", flush=True)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()
