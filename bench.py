@@ -104,6 +104,62 @@ def _load_or_measure_baseline() -> float | None:
     return None
 
 
+def _pallas_section(dtype):
+    """Probe Pallas execution on this host; if it works, duel each Pallas
+    kernel against its XLA twin on bench shapes. Returns a dict for the
+    bench JSON (explicit 'relay-blocked'/'error' verdict when not runnable —
+    VERDICT r1 asked for no silent shelf-ware)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ffrnet_tpu.tools.pallas_probe import probe_pallas
+    from ffrnet_tpu.tools.timing import time_op as _time_op
+
+    res = probe_pallas(
+        timeout_s=float(os.environ.get("FFRNET_PALLAS_PROBE_TIMEOUT", "90")))
+    section = {"verdict": res["verdict"]}
+    if not res["available"]:
+        section["kernels"] = "skipped (probe: %s)" % res["verdict"]
+        return section
+
+    from ffrnet_tpu.ops.align import ARCFACE_REF_PTS, cv2_transform
+    from ffrnet_tpu.ops.pallas.self_similarity import self_similarity_pallas
+    from ffrnet_tpu.ops.pallas.se_gating import se_gating_pallas
+    from ffrnet_tpu.ops.pallas.warp import warp_affine_pallas
+    from ffrnet_tpu.ops.align import warp_affine_tiled
+    from ffrnet_tpu.ops.similarity import self_similarity
+    from ffrnet_tpu.ops import nn as ops_nn
+
+    rng = np.random.default_rng(0)
+    # self-similarity on the RecNet featmap shape
+    fm = jnp.asarray(rng.standard_normal((BATCH, 7, 7, 512)), dtype)
+    section["ss_pallas_ms"] = round(_time_op(
+        lambda x: self_similarity_pallas(x)[0], fm), 3)
+    section["ss_xla_ms"] = round(_time_op(
+        lambda x: self_similarity(x)[0], fm), 3)
+    # SE gating on a stage-4 shape
+    se_x = jnp.asarray(rng.standard_normal((BATCH, 7, 7, 512)), dtype)
+    w1 = jnp.asarray(rng.standard_normal((32, 512)) * 0.05, dtype)
+    w2 = jnp.asarray(rng.standard_normal((512, 32)) * 0.05, dtype)
+    section["se_pallas_ms"] = round(_time_op(
+        lambda x: se_gating_pallas(x, w1, w2), se_x), 3)
+    section["se_xla_ms"] = round(_time_op(
+        lambda x: x * jax.nn.sigmoid(ops_nn.linear(
+            ops_nn.relu(ops_nn.linear(ops_nn.global_avg_pool(x), w1)),
+            w2))[:, None, None, :], se_x), 3)
+    # warp on the bench alignment shape
+    raw = jnp.asarray(rng.uniform(0, 255, (BATCH, 250, 250, 3)), dtype)
+    lmk = jnp.asarray((ARCFACE_REF_PTS[None]
+                       + rng.normal(0, 2, (BATCH, 5, 2)) + 60), jnp.float32)
+    mats = cv2_transform(lmk, jnp.broadcast_to(
+        jnp.asarray(ARCFACE_REF_PTS), lmk.shape))
+    section["warp_pallas_ms"] = round(_time_op(
+        lambda x: warp_affine_pallas(x, mats, out_hw=(112, 112)), raw), 3)
+    section["warp_xla_tiled_ms"] = round(_time_op(
+        lambda x: warp_affine_tiled(x, mats, out_hw=(112, 112)), raw), 3)
+    return section
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -115,6 +171,17 @@ def main():
     from ffrnet_tpu.eval.lfw import pair_cosine
 
     dtype = jnp.bfloat16 if DTYPE == "bf16" else jnp.float32
+
+    # Pallas hardware probe FIRST: it spawns a second TPU session, and
+    # sessions serialize through the relay — probing after this process
+    # holds the chip would misreport a hang. When the probe passes, each
+    # Pallas kernel is dueled against its XLA twin on bench shapes.
+    pallas_section = None
+    if os.environ.get("FFRNET_BENCH_PROBE_PALLAS", "1") == "1":
+        pallas_section = _pallas_section(dtype)
+        print(f"[bench] pallas: {pallas_section}", file=sys.stderr,
+              flush=True)
+
     cfg = RecNetConfig()
     enc_params, enc_state = irse.init(jax.random.PRNGKey(0))
     if os.environ.get("FFRNET_BENCH_FOLD_BN", "1") == "1":
@@ -165,9 +232,22 @@ def main():
 
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.uniform(0, 255, (BATCH, 250, 250, 3)).astype(np.float32)).astype(dtype)
-    lmk = jnp.asarray(
-        (ARCFACE_REF_PTS[None] + rng.normal(0, 2, (BATCH, 5, 2)) + 60
-         ).astype(np.float32))
+    lmk_host = (ARCFACE_REF_PTS[None] + rng.normal(0, 2, (BATCH, 5, 2)) + 60
+                ).astype(np.float32)
+    lmk = jnp.asarray(lmk_host)
+
+    # one-time host-side guard on the default tiled path: its per-tile
+    # source-extent bound must hold for these transforms (ops/align.py)
+    if warp_impl == "tiled":
+        from ffrnet_tpu.ops.align import align_tile_bound_ok
+
+        tiled_defaults = warp_affine_tiled.__wrapped__.__kwdefaults__
+        if not align_tile_bound_ok(lmk_host, ARCFACE_REF_PTS,
+                                   tiled_defaults["tile"],
+                                   tiled_defaults["crop"]):
+            print("[bench] tiled warp bound violated -> rowcrop fallback",
+                  file=sys.stderr, flush=True)
+            warp_impl = "rowcrop"
 
     def run_chain(n_iters):
         """n dependent pipeline executions, one host sync at the end.
@@ -203,12 +283,15 @@ def main():
 
     baseline = _load_or_measure_baseline()
     vs = faces_per_sec / baseline if baseline else 0.0
-    print(json.dumps({
+    record = {
         "metric": "aligned_faces_per_sec_per_chip",
         "value": round(faces_per_sec, 2),
         "unit": "faces/s",
         "vs_baseline": round(vs, 2),
-    }))
+    }
+    if pallas_section is not None:
+        record["pallas"] = pallas_section
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -79,3 +79,24 @@ def test_encoder_se_pallas_path():
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(fm_p), np.asarray(fm_x), atol=5e-4,
                                rtol=1e-3)
+
+
+def test_pallas_probe_plumbing(monkeypatch):
+    """probe_pallas subprocess plumbing: ok / error / timeout verdicts
+    (the real on-TPU probe runs in bench.py; see BASELINE.md)."""
+    from ffrnet_tpu.tools import pallas_probe as pp
+
+    monkeypatch.setattr(pp, "_PROBE_SRC", "print('PALLAS_PROBE_OK 2048.0 cpu')")
+    res = pp.probe_pallas(timeout_s=30, force=True)
+    assert res == {"available": True, "verdict": "ok", "platform": "cpu"}
+    # cached
+    assert pp.probe_pallas()["available"] is True
+
+    monkeypatch.setattr(pp, "_PROBE_SRC", "raise SystemExit(3)")
+    res = pp.probe_pallas(timeout_s=30, force=True)
+    assert res["available"] is False and res["verdict"].startswith("error")
+
+    monkeypatch.setattr(pp, "_PROBE_SRC", "import time; time.sleep(30)")
+    res = pp.probe_pallas(timeout_s=1.5, force=True)
+    assert res["verdict"] == "relay-blocked-timeout"
+    pp._cached.clear()  # don't leak the fake verdict to other tests
