@@ -200,13 +200,15 @@ def main():
     # Two jitted stages (align | model): smaller XLA programs compile far
     # faster through the remote-compile service than one fused program.
     warp_impl = os.environ.get("FFRNET_BENCH_WARP", "tiled")  # tiled|rowcrop
+    warp_cfg = {}  # filled by the host-side guard below before first trace
 
     @jax.jit
     def align_fn(raw, landmarks):
         ref = jnp.broadcast_to(jnp.asarray(ARCFACE_REF_PTS), landmarks.shape)
         mats = cv2_transform(landmarks, ref)
         if warp_impl == "tiled":
-            aligned = warp_affine_tiled(raw, mats, out_hw=(112, 112))
+            aligned = warp_affine_tiled(raw, mats, out_hw=(112, 112),
+                                        **warp_cfg)
         else:
             aligned = warp_affine_mxu(raw, mats, out_hw=(112, 112),
                                       crop_rows=128)
@@ -232,22 +234,28 @@ def main():
 
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.uniform(0, 255, (BATCH, 250, 250, 3)).astype(np.float32)).astype(dtype)
-    lmk_host = (ARCFACE_REF_PTS[None] + rng.normal(0, 2, (BATCH, 5, 2)) + 60
-                ).astype(np.float32)
+    # LFW-like transforms: raw 250x250 faces ~2.1x larger than the 112x112
+    # crop frame (dst->src scale ~2.1), small landmark noise
+    lmk_host = (ARCFACE_REF_PTS[None] * 2.1
+                + rng.normal(0, 2, (BATCH, 5, 2)) + 15).astype(np.float32)
     lmk = jnp.asarray(lmk_host)
 
-    # one-time host-side guard on the default tiled path: its per-tile
-    # source-extent bound must hold for these transforms (ops/align.py)
+    # one-time host-side guard + config pick for the tiled path: choose the
+    # provably-exact column-band (tile, crop) for these transforms, or fall
+    # back to the unconditional rowcrop warp (ops/align.py)
     if warp_impl == "tiled":
-        from ffrnet_tpu.ops.align import align_tile_bound_ok
+        from ffrnet_tpu.ops.align import auto_warp_config
 
-        tiled_defaults = warp_affine_tiled.__wrapped__.__kwdefaults__
-        if not align_tile_bound_ok(lmk_host, ARCFACE_REF_PTS,
-                                   tiled_defaults["tile"],
-                                   tiled_defaults["crop"]):
-            print("[bench] tiled warp bound violated -> rowcrop fallback",
+        config = auto_warp_config(lmk_host, ARCFACE_REF_PTS,
+                                  raw.shape[1:3], (112, 112))
+        if config is None:
+            print("[bench] no exact tiled warp config -> rowcrop fallback",
                   file=sys.stderr, flush=True)
             warp_impl = "rowcrop"
+        else:
+            warp_cfg.update(tile=config[0], crop=config[1])
+            print(f"[bench] warp config: tile={config[0]} crop={config[1]}",
+                  file=sys.stderr, flush=True)
 
     def run_chain(n_iters):
         """n dependent pipeline executions, one host sync at the end.

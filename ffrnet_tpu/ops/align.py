@@ -295,14 +295,34 @@ def warp_affine_tiled(imgs, mats, *, out_hw: Tuple[int, int],
 
     def one_tile(src_t):  # (N, tp, 2)
         sx, sy = src_t[..., 0], src_t[..., 1]
-        sy_start = jnp.clip(jnp.floor(jnp.min(sy, axis=1)).astype(jnp.int32) - 1,
-                            0, hp - crop_h)  # (N,)
-        sx_start = jnp.clip(jnp.floor(jnp.min(sx, axis=1)).astype(jnp.int32) - 1,
-                            0, wp - crop_w)
-        window = jax.vmap(
-            lambda img, y0, x0: jax.lax.dynamic_slice(
-                img, (y0, x0, 0), (crop_h, crop_w, c))
-        )(imgs_p, sy_start, sx_start)  # (N, crop_h, crop_w, c)
+        # full-extent axes skip the per-image dynamic_slice entirely (the
+        # column-band configuration auto_warp_config picks has
+        # crop_h == padded height, making the y window the whole image —
+        # measured ~3x faster than square tiles on v5e, BASELINE.md)
+        if crop_h >= hp:
+            sy_start = jnp.zeros((n,), jnp.int32)
+        else:
+            sy_start = jnp.clip(
+                jnp.floor(jnp.min(sy, axis=1)).astype(jnp.int32) - 1,
+                0, hp - crop_h)  # (N,)
+        if crop_w >= wp:
+            sx_start = jnp.zeros((n,), jnp.int32)
+        else:
+            sx_start = jnp.clip(
+                jnp.floor(jnp.min(sx, axis=1)).astype(jnp.int32) - 1,
+                0, wp - crop_w)
+        if crop_h >= hp and crop_w >= wp:
+            window = imgs_p
+        elif crop_h >= hp:
+            window = jax.vmap(
+                lambda img, x0: jax.lax.dynamic_slice(
+                    img, (0, x0, 0), (crop_h, crop_w, c))
+            )(imgs_p, sx_start)
+        else:
+            window = jax.vmap(
+                lambda img, y0, x0: jax.lax.dynamic_slice(
+                    img, (y0, x0, 0), (crop_h, crop_w, c))
+            )(imgs_p, sy_start, sx_start)  # (N, crop_h, crop_w, c)
         win_flat = window.reshape(n, crop_h, crop_w * c)
 
         y_rel = jnp.arange(crop_h, dtype=jnp.float32)
@@ -397,6 +417,39 @@ def _similarity_inv_abs_np(src_pts, dst_pts):
     return np.maximum(sc1, sc2), np.maximum(ss1, ss2)
 
 
+_CROP_W_CHOICES = (48, 64, 80, 96, 128, 160, 192, 256)
+
+
+def auto_warp_config(landmarks, ref_pts, src_hw: Tuple[int, int],
+                     out_hw: Tuple[int, int], *, tw: int = 16):
+    """Pick a provably-exact (tile, crop) for warp_affine_tiled from the
+    concrete transforms, host-side.
+
+    Uses the column-band scheme: tiles span the full output height and the
+    source window spans the full (padded) source height, so the y-extent
+    bound holds by construction and only the per-band source-x extent needs
+    a crop — measured ~3x faster than square tiles on v5e for face
+    alignment (BASELINE.md). crop_w is the smallest quantized size covering
+    the extent (fewer distinct sizes = fewer compiled variants).
+
+    Returns ((tile_h, tile_w), (crop_h, crop_w)), or None when no
+    column-band config is exact (extreme scale/rotation) — callers fall
+    back to warp_affine_mxu.
+    """
+    h, w = src_hw
+    out_h, out_w = out_hw
+    hp = h + (-h % 128)
+    wp = w + (-w % 128)
+    sc, ss = _similarity_inv_abs_np(landmarks, ref_pts)
+    cols = float((sc * (tw - 1) + ss * (out_h - 1)).max()) + 3
+    for cw in _CROP_W_CHOICES:
+        if cols <= cw <= wp:
+            return (out_h, tw), (hp, cw)
+    if cols <= wp:
+        return (out_h, tw), (hp, wp)
+    return None
+
+
 def align_tile_bound_ok(landmarks, ref_pts, tile: Tuple[int, int],
                         crop: Tuple[int, int]) -> bool:
     """Host-side guard for align_faces(impl='tiled'): True iff the tiled
@@ -486,25 +539,29 @@ def align_faces(imgs, landmarks, *, out_hw: Tuple[int, int] = (112, 96),
     (fastest; 2-D source cropping, exact only within a per-tile source
     extent bound) or 'gather' (XLA gather reference).
 
-    check_bound (impl='tiled' only): verify the tile bound on the host from
-    the concrete transforms and silently fall back to warp_affine_mxu when
-    a batch violates it — no input can produce corrupted pixels. The check
-    solves cp2tform on the host (microseconds, avoids a device round-trip);
-    callers timing a hot loop with known-safe transforms may pass
-    check_bound=False.
+    check_bound (impl='tiled' only): pick a provably-exact column-band
+    (tile, crop) on the host from the concrete transforms
+    (auto_warp_config) and silently fall back to warp_affine_mxu when none
+    exists — no input can produce corrupted pixels. The check solves
+    cp2tform on the host (microseconds, avoids a device round-trip);
+    callers timing a hot loop with a known-safe fixed config may pass
+    check_bound=False to use warp_affine_tiled's static defaults.
     """
     if ref_pts is None:
         ref_pts = ARCFACE_REF_PTS
     ref = jnp.broadcast_to(jnp.asarray(ref_pts, jnp.float32),
                            landmarks.shape[:-2] + (5, 2))
     mats = cv2_transform(landmarks.astype(jnp.float32), ref)
+    tile_kwargs = {}
     if impl == "tiled" and check_bound:
         # numpy-only guard (landmarks arrive as host arrays on every real
         # ingest path; if they are device arrays this is one small fetch)
-        defaults = warp_affine_tiled.__wrapped__.__kwdefaults__
-        if not align_tile_bound_ok(np.asarray(landmarks), np.asarray(ref_pts),
-                                   defaults["tile"], defaults["crop"]):
+        config = auto_warp_config(np.asarray(landmarks), np.asarray(ref_pts),
+                                  imgs.shape[1:3], out_hw)
+        if config is None:
             impl = "mxu"
+        else:
+            tile_kwargs = {"tile": config[0], "crop": config[1]}
     warp = {"mxu": warp_affine_mxu, "tiled": warp_affine_tiled,
             "gather": warp_affine}[impl]
-    return warp(imgs, mats, out_hw=out_hw)
+    return warp(imgs, mats, out_hw=out_hw, **tile_kwargs)
