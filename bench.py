@@ -155,8 +155,13 @@ def _pallas_section(dtype):
         jnp.asarray(ARCFACE_REF_PTS), lmk.shape))
     section["warp_pallas_ms"] = round(_time_op(
         lambda x: warp_affine_pallas(x, mats, out_hw=(112, 112)), raw), 3)
+    from ffrnet_tpu.ops.pallas.warp import warp_affine_pallas_band
+
+    section["warp_pallas_band_ms"] = round(_time_op(
+        lambda x: warp_affine_pallas_band(x, mats, out_hw=(112, 112)), raw), 3)
     section["warp_xla_tiled_ms"] = round(_time_op(
-        lambda x: warp_affine_tiled(x, mats, out_hw=(112, 112)), raw), 3)
+        lambda x: warp_affine_tiled(x, mats, out_hw=(112, 112),
+                                    tile=(112, 16), crop=(256, 64)), raw), 3)
     return section
 
 
@@ -199,14 +204,21 @@ def main():
 
     # Two jitted stages (align | model): smaller XLA programs compile far
     # faster through the remote-compile service than one fused program.
-    warp_impl = os.environ.get("FFRNET_BENCH_WARP", "tiled")  # tiled|rowcrop
+    # auto = fused Pallas column-band kernel when the probe passed, else
+    # the XLA column-band warp (both bound-guarded below).
+    warp_impl = os.environ.get("FFRNET_BENCH_WARP", "auto")
     warp_cfg = {}  # filled by the host-side guard below before first trace
 
     @jax.jit
     def align_fn(raw, landmarks):
         ref = jnp.broadcast_to(jnp.asarray(ARCFACE_REF_PTS), landmarks.shape)
         mats = cv2_transform(landmarks, ref)
-        if warp_impl == "tiled":
+        if warp_impl == "pallas_band":
+            from ffrnet_tpu.ops.pallas.warp import warp_affine_pallas_band
+
+            aligned = warp_affine_pallas_band(raw, mats, out_hw=(112, 112),
+                                              **warp_cfg)
+        elif warp_impl == "tiled":
             aligned = warp_affine_tiled(raw, mats, out_hw=(112, 112),
                                         **warp_cfg)
         else:
@@ -240,12 +252,24 @@ def main():
                 + rng.normal(0, 2, (BATCH, 5, 2)) + 15).astype(np.float32)
     lmk = jnp.asarray(lmk_host)
 
-    # one-time host-side guard + config pick for the tiled path: choose the
-    # provably-exact column-band (tile, crop) for these transforms, or fall
-    # back to the unconditional rowcrop warp (ops/align.py)
+    # one-time host-side guard + config pick: choose the provably-exact
+    # column-band config for these transforms, falling back pallas_band ->
+    # tiled -> unconditional rowcrop warp (ops/align.py)
+    if warp_impl == "auto":
+        ok = pallas_section is not None and pallas_section.get("verdict") == "ok"
+        warp_impl = "pallas_band" if ok else "tiled"
+    if warp_impl == "pallas_band":
+        from ffrnet_tpu.ops.align import auto_band_crop_w
+
+        cw = auto_band_crop_w(lmk_host, ARCFACE_REF_PTS, raw.shape[1:3], 112)
+        if cw is None:
+            warp_impl = "tiled"
+        else:
+            warp_cfg.update(crop_w=cw)
     if warp_impl == "tiled":
         from ffrnet_tpu.ops.align import auto_warp_config
 
+        warp_cfg.clear()
         config = auto_warp_config(lmk_host, ARCFACE_REF_PTS,
                                   raw.shape[1:3], (112, 112))
         if config is None:
@@ -254,8 +278,8 @@ def main():
             warp_impl = "rowcrop"
         else:
             warp_cfg.update(tile=config[0], crop=config[1])
-            print(f"[bench] warp config: tile={config[0]} crop={config[1]}",
-                  file=sys.stderr, flush=True)
+    print(f"[bench] warp: {warp_impl} cfg={warp_cfg}", file=sys.stderr,
+          flush=True)
 
     def run_chain(n_iters):
         """n dependent pipeline executions, one host sync at the end.

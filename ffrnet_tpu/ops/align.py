@@ -96,7 +96,10 @@ def _tformfwd(trans, uv):
     """Apply row-vector transform: (..., K, 2) @ (..., 3, 3) -> (..., K, 2)."""
     ones = jnp.ones(uv.shape[:-1] + (1,), uv.dtype)
     homo = jnp.concatenate([uv, ones], axis=-1)
-    out = jnp.einsum("...ki,...ij->...kj", homo, trans)
+    # HIGHEST: keep fp32 accuracy on TPU (default precision would round
+    # point coordinates to bf16 through the MXU)
+    out = jnp.einsum("...ki,...ij->...kj", homo, trans,
+                     precision=jax.lax.Precision.HIGHEST)
     return out[..., :2]
 
 
@@ -147,8 +150,29 @@ def _invert_2x3(m):
         jnp.stack([inv00, inv01], axis=-1),
         jnp.stack([inv10, inv11], axis=-1),
     ], axis=-2)
-    tinv = -jnp.einsum("...ij,...j->...i", ainv, t)
+    tinv = -jnp.einsum("...ij,...j->...i", ainv, t,
+                       precision=jax.lax.Precision.HIGHEST)
     return jnp.concatenate([ainv, tinv[..., None]], axis=-1)
+
+
+def _src_coords(inv, xs, ys):
+    """dst->src pixel coordinates, elementwise on the VPU.
+
+    Deliberately NOT an einsum/matmul: a coordinate transform lowered to
+    the MXU rounds its fp32 operands to bf16 at JAX's default matmul
+    precision, which costs ~0.5px of coordinate accuracy at src coords
+    ~200 (bf16 ulp at 165 is 1.0) — measured on v5e while validating the
+    Pallas band-warp kernel. Elementwise multiply-adds stay true fp32.
+
+    inv: (N, 2, 3); xs, ys: any shape. Returns (sx, sy) of (N, *xs.shape).
+    """
+    expand = (slice(None),) + (None,) * xs.ndim
+
+    def row(r):
+        return (inv[:, r, 0][expand] * xs + inv[:, r, 1][expand] * ys
+                + inv[:, r, 2][expand])
+
+    return row(0), row(1)
 
 
 @partial(jax.jit, static_argnames=("out_hw", "block", "crop_rows"))
@@ -187,9 +211,8 @@ def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 1792,
     ys, xs = jnp.meshgrid(
         jnp.arange(out_h, dtype=jnp.float32),
         jnp.arange(out_w, dtype=jnp.float32), indexing="ij")
-    dst = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(p_total, jnp.float32)],
-                    axis=-1)  # (P, 3)
-    src = jnp.einsum("nij,pj->npi", inv, dst)  # (N, P, 2): (x, y)
+    sx, sy = _src_coords(inv, xs.ravel(), ys.ravel())  # (N, P) each
+    src = jnp.stack([sx, sy], axis=-1)  # (N, P, 2): (x, y)
 
     pad = (-p_total) % block
     # pad coords with a huge positive value: zero interpolation weight AND
@@ -276,8 +299,8 @@ def warp_affine_tiled(imgs, mats, *, out_hw: Tuple[int, int],
     ys, xs = jnp.meshgrid(jnp.arange(oh, dtype=jnp.float32),
                           jnp.arange(ow, dtype=jnp.float32), indexing="ij")
     valid = (ys < out_h) & (xs < out_w)
-    dst = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (oh, ow, 3)
-    src = jnp.einsum("nij,hwj->nhwi", inv, dst)  # (N, oh, ow, 2)
+    sx, sy = _src_coords(inv, xs, ys)
+    src = jnp.stack([sx, sy], axis=-1)  # (N, oh, ow, 2)
     # out-of-frame padding pixels: push coords far positive (zero weight,
     # never the tile min)
     src = jnp.where(valid[None, :, :, None], src, 1e6)
@@ -450,6 +473,22 @@ def auto_warp_config(landmarks, ref_pts, src_hw: Tuple[int, int],
     return None
 
 
+def auto_band_crop_w(landmarks, ref_pts, src_hw: Tuple[int, int],
+                     out_h: int, *, band_w: int = 16):
+    """Smallest exact crop_w for warp_affine_pallas_band, host-side.
+
+    Bound: |sc|*(band_w-1) + |ss|*(out_h-1) + 3 taps + 32 window-quant
+    slack, rounded up to a multiple of 32. None when it exceeds the padded
+    source width (extreme scale/rotation -> use an unconditional warp).
+    """
+    h, w = src_hw
+    wp = max(w + (-w % 32), 64)
+    sc, ss = _similarity_inv_abs_np(landmarks, ref_pts)
+    need = float((sc * (band_w - 1) + ss * (out_h - 1)).max()) + 3 + 32
+    cw = max(-int(-need // 32) * 32, 64)
+    return cw if cw <= wp else None
+
+
 def align_tile_bound_ok(landmarks, ref_pts, tile: Tuple[int, int],
                         crop: Tuple[int, int]) -> bool:
     """Host-side guard for align_faces(impl='tiled'): True iff the tiled
@@ -493,10 +532,7 @@ def warp_affine(imgs, mats, *, out_hw: Tuple[int, int]):
     ys, xs = jnp.meshgrid(
         jnp.arange(out_h, dtype=jnp.float32),
         jnp.arange(out_w, dtype=jnp.float32), indexing="ij")
-    ones = jnp.ones_like(xs)
-    dst = jnp.stack([xs, ys, ones], axis=-1).reshape(-1, 3)  # (P, 3)
-    src = jnp.einsum("nij,pj->npi", inv, dst)  # (N, P, 2) -> (x, y)
-    sx, sy = src[..., 0], src[..., 1]
+    sx, sy = _src_coords(inv, xs.ravel(), ys.ravel())  # (N, P) each
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
@@ -528,32 +564,56 @@ def warp_affine(imgs, mats, *, out_hw: Tuple[int, int]):
     return out.reshape(n, out_h, out_w, c)
 
 
+def _pallas_known_good() -> bool:
+    """True iff a Pallas hardware probe already ran in this process and
+    passed. Never launches a probe (that costs a subprocess + up to 90s on
+    a blocked relay) — bench/serving entry points probe explicitly."""
+    from ffrnet_tpu.tools.pallas_probe import _cached
+
+    return bool(_cached.get("available"))
+
+
 def align_faces(imgs, landmarks, *, out_hw: Tuple[int, int] = (112, 96),
-                ref_pts=None, impl: str = "mxu", check_bound: bool = True):
+                ref_pts=None, impl: str = "auto", check_bound: bool = True):
     """End-to-end batched alignment: landmarks -> cp2tform -> warp.
 
     imgs: (N, H, W, C); landmarks: (N, 5, 2) as (x, y).
     Returns (N, out_h, out_w, C) aligned crops (the on-device equivalent of
     gen_lfw112x96.align, lfw/gen_lfw112x96.py:6-17).
-    impl: 'mxu' (matmul warp, fast on TPU, unconditional), 'tiled'
-    (fastest; 2-D source cropping, exact only within a per-tile source
-    extent bound) or 'gather' (XLA gather reference).
 
-    check_bound (impl='tiled' only): pick a provably-exact column-band
-    (tile, crop) on the host from the concrete transforms
-    (auto_warp_config) and silently fall back to warp_affine_mxu when none
-    exists — no input can produce corrupted pixels. The check solves
-    cp2tform on the host (microseconds, avoids a device round-trip);
-    callers timing a hot loop with a known-safe fixed config may pass
-    check_bound=False to use warp_affine_tiled's static defaults.
+    impl:
+      'auto'        — fastest provably-exact path: the fused Pallas
+                      column-band kernel when a hardware probe has passed
+                      in this process AND its extent bound holds; else the
+                      XLA column-band warp when ITS bound holds; else the
+                      unconditional MXU warp. (v5e, batch 256, 250->112:
+                      pallas 7.3ms / xla band 8.4ms / mxu 38.9ms.)
+      'pallas_band' — force the Pallas kernel (bound-checked, mxu fallback)
+      'tiled'       — force the XLA column-band warp (same fallback)
+      'mxu'         — unconditional matmul warp
+      'gather'      — XLA gather reference
+
+    check_bound: verify extent bounds on the host from the concrete
+    transforms (numpy cp2tform twin — microseconds, no device round-trip)
+    so no input can silently produce corrupted pixels. Hot loops with a
+    known-safe fixed config may disable it (uses each warp's defaults).
     """
     if ref_pts is None:
         ref_pts = ARCFACE_REF_PTS
     ref = jnp.broadcast_to(jnp.asarray(ref_pts, jnp.float32),
                            landmarks.shape[:-2] + (5, 2))
     mats = cv2_transform(landmarks.astype(jnp.float32), ref)
-    tile_kwargs = {}
-    if impl == "tiled" and check_bound:
+    if impl == "auto":
+        impl = "pallas_band" if _pallas_known_good() else "tiled"
+    kwargs = {}
+    if impl == "pallas_band" and check_bound:
+        lmk_np, ref_np = np.asarray(landmarks), np.asarray(ref_pts)
+        cw = auto_band_crop_w(lmk_np, ref_np, imgs.shape[1:3], out_hw[0])
+        if cw is None:
+            impl = "mxu"
+        else:
+            kwargs = {"crop_w": cw}
+    elif impl == "tiled" and check_bound:
         # numpy-only guard (landmarks arrive as host arrays on every real
         # ingest path; if they are device arrays this is one small fetch)
         config = auto_warp_config(np.asarray(landmarks), np.asarray(ref_pts),
@@ -561,7 +621,11 @@ def align_faces(imgs, landmarks, *, out_hw: Tuple[int, int] = (112, 96),
         if config is None:
             impl = "mxu"
         else:
-            tile_kwargs = {"tile": config[0], "crop": config[1]}
+            kwargs = {"tile": config[0], "crop": config[1]}
+    if impl == "pallas_band":
+        from ffrnet_tpu.ops.pallas.warp import warp_affine_pallas_band
+
+        return warp_affine_pallas_band(imgs, mats, out_hw=out_hw, **kwargs)
     warp = {"mxu": warp_affine_mxu, "tiled": warp_affine_tiled,
             "gather": warp_affine}[impl]
-    return warp(imgs, mats, out_hw=out_hw, **tile_kwargs)
+    return warp(imgs, mats, out_hw=out_hw, **kwargs)

@@ -57,6 +57,13 @@ def _forward(x_nhwc):
     hw = h * w
     pos = x_nhwc.reshape(n, hw, c).astype(jnp.float32)
     interpret = jax.devices()[0].platform != "tpu"
+    out = _call(pos, n=n, hw=hw, c=c, interpret=interpret)
+    # match the XLA path's dtype contract (outputs in input dtype) so
+    # downstream concat-with-featmap keeps the compute dtype (bf16 runs)
+    return tuple(o.astype(x_nhwc.dtype) for o in out)
+
+
+def _call(pos, *, n, hw, c, interpret):
     return pl.pallas_call(
         _kernel,
         grid=(n,),

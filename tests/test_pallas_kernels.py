@@ -100,3 +100,58 @@ def test_pallas_probe_plumbing(monkeypatch):
     res = pp.probe_pallas(timeout_s=1.5, force=True)
     assert res["verdict"] == "relay-blocked-timeout"
     pp._cached.clear()  # don't leak the fake verdict to other tests
+
+
+def test_warp_band_pallas_matches_gather():
+    """Fused column-band warp (interpret mode) vs the XLA gather warp,
+    across crop_w configs and both output geometries."""
+    from ffrnet_tpu.ops.align import ARCFACE_REF_PTS, cv2_transform, warp_affine
+    from ffrnet_tpu.ops.pallas.warp import warp_affine_pallas_band
+
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.uniform(0, 255, (3, 250, 250, 3)).astype(np.float32))
+    pts = jnp.asarray((ARCFACE_REF_PTS[None] * 2.1
+                       + rng.normal(0, 2, (3, 5, 2)) + 15).astype(np.float32))
+    ref = jnp.broadcast_to(jnp.asarray(ARCFACE_REF_PTS), pts.shape)
+    mats = cv2_transform(pts, ref)
+    for out_hw in ((112, 112), (112, 96)):
+        gold = np.asarray(warp_affine(imgs, mats, out_hw=out_hw))
+        for cw in (64, 96):
+            got = np.asarray(warp_affine_pallas_band(
+                imgs, mats, out_hw=out_hw, crop_w=cw))
+            np.testing.assert_allclose(got, gold, atol=1e-2, rtol=1e-4,
+                                       err_msg=f"{out_hw} cw={cw}")
+
+
+def test_align_faces_auto_and_band_guard(monkeypatch):
+    """impl='auto' prefers the Pallas band kernel only after a passed
+    probe; the band bound guard falls back to the MXU warp on extreme
+    transforms."""
+    from ffrnet_tpu.ops import align
+    from ffrnet_tpu.ops.align import ARCFACE_REF_PTS, align_faces
+    from ffrnet_tpu.tools import pallas_probe
+
+    rng = np.random.default_rng(12)
+    imgs = jnp.asarray(rng.uniform(0, 255, (2, 250, 250, 3)).astype(np.float32))
+    pts = (ARCFACE_REF_PTS[None].repeat(2, 0) * 2.0 + 20).astype(np.float32)
+
+    # no probe ran -> auto == tiled
+    pallas_probe._cached.clear()
+    out_tiled = np.asarray(align_faces(imgs, jnp.asarray(pts), impl="auto"))
+    # fake a passed probe -> auto == pallas_band (interpret mode on CPU)
+    monkeypatch.setitem(pallas_probe._cached, "available", True)
+    out_band = np.asarray(align_faces(imgs, jnp.asarray(pts), impl="auto"))
+    np.testing.assert_allclose(out_band, out_tiled, atol=1e-2, rtol=1e-4)
+
+    # extreme scale: band bound fails -> silently exact via MXU fallback
+    big = (ARCFACE_REF_PTS[None].repeat(2, 0) * 12.0).astype(np.float32)
+    big_imgs = jnp.asarray(rng.uniform(0, 255, (2, 300, 300, 3)).astype(np.float32))
+    from ffrnet_tpu.ops.align import warp_affine, cv2_transform
+    ref = jnp.broadcast_to(jnp.asarray(ARCFACE_REF_PTS), (2, 5, 2))
+    gold = np.asarray(warp_affine(big_imgs,
+                                  cv2_transform(jnp.asarray(big), ref),
+                                  out_hw=(112, 96)))
+    got = np.asarray(align_faces(big_imgs, jnp.asarray(big),
+                                 impl="pallas_band"))
+    np.testing.assert_allclose(got, gold, atol=1e-2, rtol=1e-4)
+    pallas_probe._cached.clear()
