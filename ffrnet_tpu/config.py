@@ -70,6 +70,9 @@ class Options:
     mesh_model: int = 1
     # test / misc
     test_result_dir: str = "./test_result"
+    save_wrong: int = 0           # test phase: dump misclassified pairs
+    # (wrong_images{,_new}/ under ckpt_dir — the reference's save_wrong_imgs
+    # hook, lfw/lfw_eval.py:120-135, which its call sites never enabled)
     which_file: str = "latest"
     other: str = ""
     encoder_weights: str = "./pretrain/se50.pth"
@@ -164,6 +167,7 @@ def parse_args(argv: Optional[List[str]] = None, *, make_dirs: bool = True) -> O
     p.add_argument("--mesh_data", type=int, default=defaults.mesh_data)
     p.add_argument("--mesh_model", type=int, default=defaults.mesh_model)
     p.add_argument("--test_result_dir", type=str, default=defaults.test_result_dir)
+    p.add_argument("--save_wrong", type=int, default=defaults.save_wrong)
     p.add_argument("--which_file", type=str, default=defaults.which_file)
     p.add_argument("--other", type=str, default=defaults.other)
     p.add_argument("--encoder_weights", type=str, default=defaults.encoder_weights)

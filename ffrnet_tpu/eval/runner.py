@@ -44,10 +44,12 @@ def make_pair_score_fn(cfg: RecNetConfig, *, num_layers: int = 50,
 
 def evaluate_pairs(enc_params, enc_state, rec_params, rec_state,
                    batches: Iterable, cfg: RecNetConfig = RecNetConfig(),
-                   score_fn=None) -> Tuple[FoldResult, FoldResult]:
+                   score_fn=None, return_scores: bool = False):
     """Run the full verification protocol over an iterable of pair batches
     ({'img1','img2','label'} NHWC float32). Returns (result_new, result_raw)
     — rectified first, mirroring get_avg_accuracy (lfw/lfw_eval.py:285-287).
+    With return_scores=True also returns (scores_new, scores_raw, labels)
+    as host arrays (feeds misclassified-pair dumps).
     """
     score = score_fn or make_pair_score_fn(cfg)
     raw_scores, new_scores, labels = [], [], []
@@ -57,11 +59,14 @@ def evaluate_pairs(enc_params, enc_state, rec_params, rec_state,
         raw_scores.append(np.asarray(s_raw))
         new_scores.append(np.asarray(s_new))
         labels.append(np.asarray(batch["label"]))
-    scores_raw = jnp.asarray(np.concatenate(raw_scores))
-    scores_new = jnp.asarray(np.concatenate(new_scores))
-    lab = jnp.asarray(np.concatenate(labels))
-    return (kfold_verification(scores_new, lab),
-            kfold_verification(scores_raw, lab))
+    scores_raw = np.concatenate(raw_scores)
+    scores_new = np.concatenate(new_scores)
+    lab = np.concatenate(labels)
+    results = (kfold_verification(jnp.asarray(scores_new), jnp.asarray(lab)),
+               kfold_verification(jnp.asarray(scores_raw), jnp.asarray(lab)))
+    if return_scores:
+        return results + (scores_new, scores_raw, lab)
+    return results
 
 
 def save_wrong_images(dataset, wrong_idx, out_dir: str) -> int:

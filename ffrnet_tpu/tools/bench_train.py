@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--remat", type=int, default=0,
                    help="jax.checkpoint the RecNet branches (recompute in "
                         "backward; measures the remat-vs-store tradeoff)")
+    p.add_argument("--features", type=int, default=0,
+                   help="feature-cached mode: run encode_frozen once, then "
+                        "time RecNet-only steps (train_step_from_features) "
+                        "— the frozen-encoder caching the torch reference "
+                        "cannot express")
     args = p.parse_args(argv)
 
     import jax
@@ -53,7 +58,19 @@ def main(argv=None):
             -1, 1, (args.batch, 112, 112, 3)).astype(np.float32)),
         "label": jnp.asarray(rng.integers(0, args.num_classes, args.batch)),
     }
-    step = jax.jit(functools.partial(train_step, cfg=cfg))
+    if args.features:
+        from ffrnet_tpu.training.trainer import (encode_frozen,
+                                                 train_step_from_features)
+
+        feats = jax.jit(functools.partial(
+            encode_frozen, compute_dtype=args.dtype))(
+                enc_params, enc_state, batch)
+        fstep = jax.jit(functools.partial(train_step_from_features, cfg=cfg))
+
+        def step(_, __, state, ___):
+            return fstep(state, feats)
+    else:
+        step = jax.jit(functools.partial(train_step, cfg=cfg))
 
     t0 = time.perf_counter()
     state, metrics = step(enc_params, enc_state, state, batch)
@@ -80,6 +97,7 @@ def main(argv=None):
         "batch": args.batch,
         "dtype": args.dtype,
         "remat": bool(args.remat),
+        "features": bool(args.features),
         "step_ms": round(1e3 * dt / args.iters, 2),
     }))
 

@@ -87,11 +87,36 @@ def make_eval_batches(opts: Options, ocl_num: int, batch_size: int):
     return loader.epoch(0)
 
 
-def eval_lfw(opts: Options, enc, rec, ocl_num: int, cfg, score_fn=None):
-    """(acc_new, acc) at the given occlusion count (train.py:101-113)."""
+def eval_lfw(opts: Options, enc, rec, ocl_num: int, cfg, score_fn=None,
+             dump_wrong_to: Optional[str] = None):
+    """(acc_new, acc) at the given occlusion count (train.py:101-113).
+
+    dump_wrong_to: when set, write each misclassified pair's images under
+    <dump_wrong_to>/wrong_images{,_new}_ocl{n}/ — the reference's
+    save_wrong_imgs hook (lfw/lfw_eval.py:120-135) wired end-to-end.
+    """
     batches = make_eval_batches(opts, ocl_num, opts.batch_size)
-    res_new, res_raw = evaluate_pairs(enc[0], enc[1], rec[0], rec[1], batches,
-                                      cfg=cfg.recnet, score_fn=score_fn)
+    if dump_wrong_to is None:
+        res_new, res_raw = evaluate_pairs(enc[0], enc[1], rec[0], rec[1],
+                                          batches, cfg=cfg.recnet,
+                                          score_fn=score_fn)
+        return float(res_new.mean_accuracy), float(res_raw.mean_accuracy)
+
+    from ffrnet_tpu.eval.lfw import misclassified_indices
+    from ffrnet_tpu.eval.runner import save_wrong_images
+
+    res_new, res_raw, s_new, s_raw, labels = evaluate_pairs(
+        enc[0], enc[1], rec[0], rec[1], batches, cfg=cfg.recnet,
+        score_fn=score_fn, return_scores=True)
+    dump_ds = LfwPairs(opts.test_data, opts.test_pair_list,
+                       test_ocl_num=ocl_num, flip_prob=0.0)
+    for scores, res, sub in ((s_new, res_new, "wrong_images_new"),
+                             (s_raw, res_raw, "wrong_images")):
+        wrong = misclassified_indices(scores, labels, res)
+        n = save_wrong_images(dump_ds, wrong,
+                              os.path.join(dump_wrong_to,
+                                           f"{sub}_ocl{ocl_num}"))
+        print(f"[save_wrong] ocl{ocl_num} {sub}: {n} files", file=sys.stderr)
     return float(res_new.mean_accuracy), float(res_raw.mean_accuracy)
 
 
@@ -204,9 +229,11 @@ def test(opts: Options) -> None:
                                                     opts.which_file)
     logger.set_current_iter(0, 0)
     score_fn = make_pair_score_fn(cfg.recnet)
+    dump_dir = opts.ckpt_dir if opts.save_wrong else None
     for ocl in range(3):
         acc_new, acc = eval_lfw(opts, (enc_params, enc_state),
-                                (params, model_state), ocl, cfg, score_fn)
+                                (params, model_state), ocl, cfg, score_fn,
+                                dump_wrong_to=dump_dir)
         logger.record_scalar({"acc": acc}, f"test_acc/ocl{ocl}")
         logger.record_scalar({"acc_new": acc_new}, f"test_acc_new/ocl{ocl}")
         print(f"test result ocl{ocl}: acc_new {acc_new:.4f} acc {acc:.4f}")

@@ -58,7 +58,13 @@ def test_full_test_phase(tmp_path):
         "--which_file", "latest",
         "--encoder_weights", "/nonexistent",
         "--nThread", "2",
+        "--save_wrong", "1",
     ])
+
+    # save_wrong wiring: random weights misclassify SOME pairs -> dumps
+    import glob as _glob
+    wrong_files = _glob.glob(str(ckpt_dir / "wrong_images*" / "*.png"))
+    assert wrong_files, "save_wrong produced no misclassified-pair dumps"
 
     # accuracies landed in the JSON scalar export
     import glob
