@@ -119,6 +119,33 @@ class FFRNet:
             batches, cfg=self.cfg)
         return float(res_new.mean_accuracy), float(res_raw.mean_accuracy)
 
+    def embed_files(self, paths, landmarks) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Full ingest: image files -> decode -> on-device align (auto warp)
+        -> BGR [-1,1] -> (raw_embedding, rectified_embedding).
+
+        paths: N image file paths; landmarks: (N, 5, 2) pixel (x, y) points
+        in each source image. Mixed source sizes are padded to a common
+        canvas (zero pixels = warp border). Alignment targets the 112x112
+        ArcFace frame (reference points shifted +8 in x).
+        """
+        import numpy as np
+        from PIL import Image
+
+        imgs = [np.asarray(Image.open(p).convert("RGB"), dtype=np.float32)
+                for p in paths]
+        max_h = max(a.shape[0] for a in imgs)
+        max_w = max(a.shape[1] for a in imgs)
+        canvas = np.zeros((len(imgs), max_h, max_w, 3), np.float32)
+        for i, a in enumerate(imgs):
+            canvas[i, :a.shape[0], :a.shape[1]] = a
+        from ffrnet_tpu.ops.align import ARCFACE_REF_PTS
+
+        ref112 = ARCFACE_REF_PTS + np.asarray([8.0, 0.0], np.float32)
+        aligned = self.align(canvas, np.asarray(landmarks, np.float32),
+                             out_hw=(112, 112), ref_pts=ref112)
+        x = (jnp.asarray(aligned)[..., ::-1] / 127.5) - 1.0  # RGB->BGR
+        return self.embed(x)
+
     @staticmethod
     def align(images, landmarks, *, out_hw=(112, 96), ref_pts=None):
         """Batched on-device cp2tform alignment (uint8/float pixel values).

@@ -119,3 +119,33 @@ def verification_from_embeddings(f1, f2, f1_new, f2_new, labels):
     res_new = kfold_verification(pair_cosine(f1_new, f2_new), labels)
     res_raw = kfold_verification(pair_cosine(f1, f2), labels)
     return res_new, res_raw
+
+
+@jax.jit
+def roc_curve(scores, labels):
+    """(fpr, tpr) over the protocol's 400-threshold grid.
+
+    Framework extra beyond the reference (which reports fold accuracy
+    only, lfw/lfw_eval.py:137-162): one vectorized (T, N) reduction.
+    """
+    thresholds = THRESHOLD_START + THRESHOLD_STEP * jnp.arange(
+        N_THRESHOLDS, dtype=scores.dtype)
+    pred = scores[None, :] > thresholds[:, None]  # (T, N)
+    pos = (labels > 0)[None, :]
+    tp = jnp.sum(pred & pos, axis=1).astype(jnp.float32)
+    fp = jnp.sum(pred & ~pos, axis=1).astype(jnp.float32)
+    n_pos = jnp.maximum(jnp.sum(pos), 1).astype(jnp.float32)
+    n_neg = jnp.maximum(jnp.sum(~pos), 1).astype(jnp.float32)
+    return fp / n_neg, tp / n_pos
+
+
+def tar_at_far(scores, labels, far_targets=(1e-3, 1e-2)):
+    """Verification TAR at the given FARs (linear interpolation along the
+    threshold sweep). Host-side convenience over roc_curve."""
+    import numpy as np
+
+    fpr, tpr = jax.device_get(roc_curve(jnp.asarray(scores),
+                                        jnp.asarray(labels)))
+    order = np.argsort(fpr)
+    fpr, tpr = fpr[order], tpr[order]
+    return {float(f): float(np.interp(f, fpr, tpr)) for f in far_targets}

@@ -81,3 +81,28 @@ def test_evaluate_protocol(model):
 
     acc_new, acc = model.evaluate(batches())
     assert 0.0 <= acc_new <= 1.0 and 0.0 <= acc <= 1.0
+
+
+def test_embed_files_full_ingest(tmp_path):
+    """FFRNet.embed_files: files -> decode -> auto-warp align -> embeddings,
+    on the pinned golden JPEG."""
+    import os
+    import shutil
+
+    from ffrnet_tpu.api import FFRNet
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
+    p1 = str(tmp_path / "a.jpg")
+    p2 = str(tmp_path / "b.jpg")
+    shutil.copy(os.path.join(fixture, "face_0.jpg"), p1)
+    shutil.copy(os.path.join(fixture, "face_0.jpg"), p2)
+    lmk = np.load(os.path.join(fixture, "expected.npz"))["landmarks"]
+    lmk = np.stack([lmk, lmk]).astype(np.float32)
+
+    model = FFRNet.random(0)
+    raw, rect = model.embed_files([p1, p2], lmk)
+    assert raw.shape == rect.shape == (2, 512)
+    # identical files + landmarks -> identical embeddings; raw is L2-normed
+    np.testing.assert_allclose(np.asarray(raw[0]), np.asarray(raw[1]),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(jnp.linalg.norm(raw[0])), 1.0, atol=1e-4)

@@ -117,3 +117,24 @@ def test_misclassified_indices_and_wrong_image_dump(tmp_path):
     names = sorted(os.listdir(out_dir))
     assert names[0] == f"{int(wrong[0]):04d}_1.png"
     assert len(names) == n_files
+
+
+def test_roc_and_tar_at_far():
+    """roc_curve / tar_at_far against a literal numpy mirror."""
+    from ffrnet_tpu.eval.lfw import roc_curve, tar_at_far
+
+    rng = np.random.default_rng(4)
+    labels = (rng.uniform(size=600) > 0.5).astype(np.int64)
+    scores = np.where(labels > 0, rng.normal(0.4, 0.3, 600),
+                      rng.normal(-0.2, 0.3, 600)).astype(np.float32)
+    fpr, tpr = map(np.asarray, roc_curve(jnp.asarray(scores),
+                                         jnp.asarray(labels)))
+    ths = -1.0 + 0.005 * np.arange(400)
+    pos, neg = labels > 0, labels == 0
+    exp_tpr = [(scores[pos] > t).mean() for t in ths]
+    exp_fpr = [(scores[neg] > t).mean() for t in ths]
+    np.testing.assert_allclose(tpr, exp_tpr, atol=1e-6)
+    np.testing.assert_allclose(fpr, exp_fpr, atol=1e-6)
+
+    tar = tar_at_far(scores, labels, far_targets=(0.01, 0.1))
+    assert 0.0 <= tar[0.01] <= tar[0.1] <= 1.0
