@@ -240,12 +240,22 @@ def main():
     def pipeline(enc_p, enc_s, rec_p, rec_s, raw, landmarks):
         return model_fn(enc_p, enc_s, rec_p, rec_s, align_fn(raw, landmarks))
 
-    # One fused XLA program saves ~2ms/iter of dispatch + boundary traffic
-    # (7509 vs 7092 faces/s measured); FFRNET_BENCH_FUSED=0 restores the
-    # two-program split (faster first compile through the remote service).
+    # One fused XLA program + params closed over as constants: saves
+    # ~2ms/iter of dispatch/boundary traffic plus ~1ms/iter of per-call
+    # param-tree marshaling through the relay (measured; weights are fixed
+    # for the whole bench). FFRNET_BENCH_FUSED=0 restores the two-program
+    # split (faster first compile through the remote service).
     fused = os.environ.get("FFRNET_BENCH_FUSED", "1") == "1"
     if fused:
-        pipeline = jax.jit(pipeline)
+        inner = pipeline
+
+        @jax.jit
+        def fused_pipeline(raw, landmarks):
+            return inner(enc_params, enc_state, rec_params, rec_state,
+                         raw, landmarks)
+
+        def pipeline(e_p, e_s, r_p, r_s, raw, landmarks):  # noqa: F811
+            return fused_pipeline(raw, landmarks)
 
     def _mark(msg, t0):
         print(f"[bench] {msg} {time.perf_counter() - t0:.1f}s",
