@@ -33,6 +33,9 @@ class FFRNet:
     rec_params: Any
     rec_state: Any
     cfg: RecNetConfig = field(default_factory=RecNetConfig)
+    # set by .shard(): NamedSharding that splits the batch axis over the
+    # mesh's 'data' axis; params are then replicated device arrays
+    batch_sharding: Any = None
 
     # ------------------------------------------------------------------ init
     @classmethod
@@ -78,11 +81,49 @@ class FFRNet:
         trees = tree_cast_floats(trees, dtype)
         return FFRNet(*trees, self.cfg)
 
+    def shard(self, mesh=None) -> "FFRNet":
+        """Data-parallel inference over a device mesh.
+
+        Replicates the weight trees over `mesh` (default: a mesh over all
+        visible devices) and marks the model so every embed/verify/
+        embed_files call shards its batch over the mesh's 'data' axis — XLA then runs
+        each shard on its own chip with no collectives on the forward path
+        (embeddings are per-sample). The reference's only inference
+        parallelism is single-host nn.DataParallel around the torch modules
+        (models/trainer.py:70-72); this is the same capability expressed as
+        shardings, so it scales across hosts/ICI unchanged.
+
+        Batches not divisible by the data-axis size are zero-padded for the
+        dispatch and sliced back — every jitted program keeps static shapes.
+        """
+        from ffrnet_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                              replicated)
+
+        if mesh is None:
+            mesh = make_mesh()
+        trees = jax.device_put(
+            (self.enc_params, self.enc_state, self.rec_params,
+             self.rec_state), replicated(mesh))
+        return FFRNet(*trees, self.cfg, batch_sharding=batch_sharding(mesh))
+
     # ------------------------------------------------------------- inference
     def _embed(self, images):
         # module-level jitted fn with cfg static: the compile cache is
         # shared across FFRNet instances (params are traced args, so
         # instances never pin weight trees in the pjit cache)
+        if self.batch_sharding is not None:
+            n = images.shape[0]
+            n_data = self.batch_sharding.mesh.shape["data"]
+            pad = -n % n_data
+            if pad:
+                images = jnp.concatenate(
+                    [images, jnp.zeros((pad,) + images.shape[1:],
+                                       images.dtype)], axis=0)
+            images = jax.device_put(images, self.batch_sharding)
+            out = _embed_impl(self.enc_params, self.enc_state,
+                              self.rec_params, self.rec_state, images,
+                              cfg=self.cfg)
+            return tuple(o[:n] for o in out) if pad else out
         return _embed_impl(self.enc_params, self.enc_state, self.rec_params,
                            self.rec_state, images, cfg=self.cfg)
 

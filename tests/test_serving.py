@@ -1,0 +1,148 @@
+"""Serving layer + data-parallel inference sharding.
+
+The reference has no serving or inference-parallelism surface beyond
+nn.DataParallel (models/trainer.py:70-72); these tests cover the TPU-native
+equivalents: FFRNet.shard (mesh data parallelism) and EmbeddingService
+(dynamic micro-batching).
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ffrnet_tpu.api import FFRNet
+from ffrnet_tpu.parallel.mesh import make_mesh
+from ffrnet_tpu.serving import EmbeddingService
+
+
+@pytest.fixture(scope="module")
+def model():
+    return FFRNet.random(0)
+
+
+def _faces(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1, 1, (n, 112, 112, 3)).astype(np.float32)
+
+
+# ---------------------------------------------------------------- sharding
+
+
+def test_sharded_embed_matches_single_device(model):
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    sharded = model.shard(mesh)
+    x = _faces(16)
+    raw0, rect0 = model.embed(x)
+    raw1, rect1 = sharded.embed(x)
+    np.testing.assert_allclose(np.asarray(raw0), np.asarray(raw1),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(rect0), np.asarray(rect1),
+                               atol=2e-5, rtol=2e-5)
+    # the dispatch really was sharded over 'data'
+    y = jax.device_put(jnp.asarray(x), sharded.batch_sharding)
+    assert len(y.sharding.device_set) == mesh.devices.size
+
+
+def test_sharded_embed_pads_indivisible_batch(model):
+    sharded = model.shard(make_mesh())
+    x = _faces(11, seed=3)  # not divisible by 8 -> padded to 16, sliced back
+    raw0, rect0 = model.embed(x)
+    raw1, rect1 = sharded.embed(x)
+    assert raw1.shape == (11, 512) and rect1.shape == (11, 512)
+    np.testing.assert_allclose(np.asarray(raw0), np.asarray(raw1),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(rect0), np.asarray(rect1),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_sharded_verify(model):
+    sharded = model.shard(make_mesh())
+    a, b = _faces(6, seed=1), _faces(6, seed=2)
+    s0 = np.asarray(model.verify(a, b))
+    s1 = np.asarray(sharded.verify(a, b))
+    np.testing.assert_allclose(s0, s1, atol=2e-5, rtol=2e-5)
+
+
+# ----------------------------------------------------------------- serving
+
+
+def test_service_matches_direct_embed(model):
+    x = _faces(9, seed=5)
+    raw0, rect0 = model.embed(x)
+    with EmbeddingService(model, max_batch=16, max_delay_s=0.01) as svc:
+        futs = [svc.submit(x[i]) for i in range(9)]
+        outs = [f.result(timeout=60) for f in futs]
+    for i, (raw, rect) in enumerate(outs):
+        assert raw.shape == (1, 512)
+        np.testing.assert_allclose(np.asarray(raw[0]), np.asarray(raw0[i]),
+                                   atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(rect[0]), np.asarray(rect0[i]),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_service_group_submit_and_padding(model):
+    x = _faces(5, seed=7)  # 5 pads to the 8-bucket; result must be exact
+    raw0, rect0 = model.embed(x)
+    with EmbeddingService(model, max_batch=8, max_delay_s=0.0) as svc:
+        raw, rect = svc.submit(x).result(timeout=60)
+    assert raw.shape == (5, 512)
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(raw0),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(rect), np.asarray(rect0),
+                               atol=2e-5, rtol=2e-5)
+    assert svc.stats.batches == 1
+    assert svc.stats.padded_faces == 3
+
+
+def test_service_coalesces_concurrent_submits(model):
+    x = _faces(24, seed=9)
+    svc = EmbeddingService(model, max_batch=32, max_delay_s=0.05)
+    svc.warmup()
+    barrier = threading.Barrier(8)
+    futs = [None] * 8
+
+    def client(i):
+        barrier.wait()
+        futs[i] = svc.submit(x[3 * i:3 * i + 3])
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    outs = [f.result(timeout=60) for f in futs]
+    svc.close()
+    raw0, _ = model.embed(x)
+    for i, (raw, _) in enumerate(outs):
+        np.testing.assert_allclose(np.asarray(raw),
+                                   np.asarray(raw0[3 * i:3 * i + 3]),
+                                   atol=2e-5, rtol=2e-5)
+    # 24 faces over >=1 dispatch, strictly fewer dispatches than requests
+    assert svc.stats.faces == 24
+    assert svc.stats.batches < 8
+    assert svc.stats.mean_batch > 3.0
+
+
+def test_service_rejects_bad_shapes_and_closed(model):
+    svc = EmbeddingService(model, max_batch=4)
+    with pytest.raises(ValueError):
+        svc.submit(np.zeros((50, 50, 3), np.float32))
+    with pytest.raises(ValueError):
+        svc.submit(np.zeros((5, 112, 112, 3), np.float32))  # > max_batch
+    svc.close()
+    with pytest.raises(RuntimeError):
+        svc.submit(np.zeros((112, 112, 3), np.float32))
+
+
+def test_service_drains_queue_on_close(model):
+    x = _faces(6, seed=11)
+    svc = EmbeddingService(model, max_batch=2, max_delay_s=0.0)
+    futs = [svc.submit(x[i]) for i in range(6)]
+    svc.close()  # must resolve everything already accepted
+    for i, f in enumerate(futs):
+        raw, _ = f.result(timeout=60)
+        assert raw.shape == (1, 512)
