@@ -111,6 +111,11 @@ class FFRNet:
         # module-level jitted fn with cfg static: the compile cache is
         # shared across FFRNet instances (params are traced args, so
         # instances never pin weight trees in the pjit cache)
+        # inputs follow the model's compute dtype (a bf16-prepared model
+        # accepts fp32/uint8-scaled hosts arrays; cast host-side = half the
+        # upload bytes for bf16)
+        compute_dtype = self.enc_params["input"]["conv"]["w"].dtype
+        images = jnp.asarray(images, dtype=compute_dtype)
         if self.batch_sharding is not None:
             n = images.shape[0]
             n_data = self.batch_sharding.mesh.shape["data"]

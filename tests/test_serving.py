@@ -127,6 +127,14 @@ def test_service_coalesces_concurrent_submits(model):
     assert svc.stats.mean_batch > 3.0
 
 
+def test_bf16_model_accepts_fp32_inputs():
+    # serving always feeds fp32 host arrays; a bf16-prepared model must
+    # cast rather than fail the conv dtype check (regression: bench_serving)
+    m = FFRNet.random(0, dtype=jnp.bfloat16)
+    raw, rect = m.embed(_faces(3, seed=13))
+    assert raw.dtype == jnp.bfloat16 and raw.shape == (3, 512)
+
+
 def test_service_rejects_bad_shapes_and_closed(model):
     svc = EmbeddingService(model, max_batch=4)
     with pytest.raises(ValueError):
