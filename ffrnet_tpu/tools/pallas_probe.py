@@ -43,16 +43,7 @@ print("PALLAS_PROBE_OK", total, jax.devices()[0].platform, flush=True)
 _cached: Dict[str, object] = {}
 
 
-def probe_pallas(timeout_s: float = 120.0, *, force: bool = False) -> Dict[str, object]:
-    """Try one trivial pallas_call on the default backend in a subprocess.
-
-    Returns {'available': bool, 'verdict': str, 'platform': str|None}.
-    Verdicts: 'ok', 'relay-blocked-timeout' (dispatched but never returned
-    within timeout_s — the documented relay failure mode), or 'error:...'
-    (compile/runtime failure). Result is cached per process.
-    """
-    if _cached and not force:
-        return dict(_cached)
+def _probe_once(timeout_s: float) -> Dict[str, object]:
     env = dict(os.environ)
     env.setdefault("FFRNET_PALLAS_PROBE_CHILD", "1")
     try:
@@ -63,18 +54,39 @@ def probe_pallas(timeout_s: float = 120.0, *, force: bool = False) -> Dict[str, 
         ok_lines = [l for l in out if l.startswith("PALLAS_PROBE_OK")]
         if proc.returncode == 0 and ok_lines:
             parts = ok_lines[-1].split()
-            result = {"available": parts[1] == "2048.0",
-                      "verdict": "ok" if parts[1] == "2048.0"
-                      else f"error: wrong result {parts[1]}",
-                      "platform": parts[2] if len(parts) > 2 else None}
-        else:
-            tail = (proc.stderr or proc.stdout or "").strip()[-400:]
-            result = {"available": False,
-                      "verdict": f"error: rc={proc.returncode} {tail}",
-                      "platform": None}
+            return {"available": parts[1] == "2048.0",
+                    "verdict": "ok" if parts[1] == "2048.0"
+                    else f"error: wrong result {parts[1]}",
+                    "platform": parts[2] if len(parts) > 2 else None}
+        tail = (proc.stderr or proc.stdout or "").strip()[-400:]
+        return {"available": False,
+                "verdict": f"error: rc={proc.returncode} {tail}",
+                "platform": None}
     except subprocess.TimeoutExpired:
-        result = {"available": False, "verdict": "relay-blocked-timeout",
-                  "platform": None}
+        return {"available": False, "verdict": "relay-blocked-timeout",
+                "platform": None}
+
+
+def probe_pallas(timeout_s: float = 120.0, *, force: bool = False,
+                 attempts: int = 2) -> Dict[str, object]:
+    """Try one trivial pallas_call on the default backend in a subprocess.
+
+    Returns {'available': bool, 'verdict': str, 'platform': str|None}.
+    Verdicts: 'ok', 'relay-blocked-timeout' (dispatched but never returned
+    within timeout_s — the documented relay failure mode), or 'error:...'
+    (compile/runtime failure). A timeout is retried up to `attempts` total
+    tries: a *stale relay session* (e.g. an earlier TPU process that died
+    uncleanly) makes session acquisition exceed the timeout once and then
+    recover, which is indistinguishable from the true relay hang on the
+    first try (observed round 3). Result is cached per process.
+    """
+    if _cached and not force:
+        return dict(_cached)
+    result = _probe_once(timeout_s)
+    for _ in range(max(attempts, 1) - 1):
+        if result["verdict"] != "relay-blocked-timeout":
+            break
+        result = _probe_once(timeout_s)
     _cached.clear()
     _cached.update(result)
     return dict(result)

@@ -81,7 +81,7 @@ def test_encoder_se_pallas_path():
                                rtol=1e-3)
 
 
-def test_pallas_probe_plumbing(monkeypatch):
+def test_pallas_probe_plumbing(monkeypatch, tmp_path):
     """probe_pallas subprocess plumbing: ok / error / timeout verdicts
     (the real on-TPU probe runs in bench.py; see BASELINE.md)."""
     from ffrnet_tpu.tools import pallas_probe as pp
@@ -99,6 +99,20 @@ def test_pallas_probe_plumbing(monkeypatch):
     monkeypatch.setattr(pp, "_PROBE_SRC", "import time; time.sleep(30)")
     res = pp.probe_pallas(timeout_s=1.5, force=True)
     assert res["verdict"] == "relay-blocked-timeout"
+
+    # stale-session recovery: first attempt hangs (and is killed by the
+    # timeout), the automatic retry succeeds
+    flag = tmp_path / "session_flag"
+    monkeypatch.setattr(pp, "_PROBE_SRC", (
+        "import os, time\n"
+        f"p = {str(flag)!r}\n"
+        "if not os.path.exists(p):\n"
+        "    open(p, 'w').close(); time.sleep(60)\n"
+        "print('PALLAS_PROBE_OK 2048.0 cpu')\n"))
+    # timeout must exceed interpreter startup (~3s: sitecustomize preimports
+    # jax) or the child is killed before it can create the flag
+    res = pp.probe_pallas(timeout_s=15, force=True)
+    assert res == {"available": True, "verdict": "ok", "platform": "cpu"}
     pp._cached.clear()  # don't leak the fake verdict to other tests
 
 

@@ -146,6 +146,18 @@ def test_service_rejects_bad_shapes_and_closed(model):
         svc.submit(np.zeros((112, 112, 3), np.float32))
 
 
+@pytest.mark.slow
+def test_bench_serving_tool_smoke(capsys):
+    from ffrnet_tpu.tools import bench_serving
+
+    out = bench_serving.main([
+        "--clients", "2", "--group", "2", "--seconds", "0.5",
+        "--max_batch", "4", "--buckets", "4", "--dtype", "fp32"])
+    assert out["metric"] == "served_faces_per_sec"
+    assert out["value"] > 0 and out["dispatches"] >= 1
+    assert out["latency_ms_p50"] is not None
+
+
 def test_service_drains_queue_on_close(model):
     x = _faces(6, seed=11)
     svc = EmbeddingService(model, max_batch=2, max_delay_s=0.0)
