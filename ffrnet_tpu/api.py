@@ -79,7 +79,14 @@ class FFRNet:
         trees = jax.tree.map(
             jnp.asarray, (enc_p, enc_s, self.rec_params, self.rec_state))
         trees = tree_cast_floats(trees, dtype)
-        return FFRNet(*trees, self.cfg)
+        if self.batch_sharding is not None:
+            # keep a sharded model sharded: re-replicate the rebuilt trees
+            # over the same mesh instead of silently dropping to one device
+            from ffrnet_tpu.parallel.mesh import replicated
+
+            trees = jax.device_put(trees,
+                                   replicated(self.batch_sharding.mesh))
+        return FFRNet(*trees, self.cfg, batch_sharding=self.batch_sharding)
 
     def shard(self, mesh=None) -> "FFRNet":
         """Data-parallel inference over a device mesh.
@@ -134,24 +141,36 @@ class FFRNet:
 
     def embed(self, images) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """images: (N, 112, 112, 3) NHWC in [-1, 1] BGR ->
-        (raw_embedding (N,512) L2-normed, rectified_embedding (N,512))."""
-        raw, rect, _ = self._embed(jnp.asarray(images))
+        (raw_embedding (N,512) L2-normed, rectified_embedding (N,512)).
+
+        Host arrays go straight to _embed (which casts to the compute dtype
+        BEFORE upload — a premature jnp.asarray here would ship full fp32
+        bytes through the link and cast on device)."""
+        raw, rect, _ = self._embed(images)
         return raw, rect
 
     def featurize(self, images):
         """Full outputs: (raw_embed, rectified_embed, rectified_map)."""
-        return self._embed(jnp.asarray(images))
+        return self._embed(images)
 
     def verify(self, img1, img2, *, rectified: bool = True) -> jnp.ndarray:
         """Per-pair cosine scores (the reference's verification distance).
 
         Both sides are embedded in ONE 2N-batch dispatch (the same fusion
         the eval runner uses) instead of two N-batch encoder calls."""
+        import numpy as np
+
         from ffrnet_tpu.eval.lfw import pair_cosine
 
-        img1, img2 = jnp.asarray(img1), jnp.asarray(img2)
-        n = img1.shape[0]
-        raw, rect, _ = self._embed(jnp.concatenate([img1, img2], axis=0))
+        if isinstance(img1, jax.Array) or isinstance(img2, jax.Array):
+            both = jnp.concatenate([jnp.asarray(img1), jnp.asarray(img2)],
+                                   axis=0)
+        else:  # host inputs: concatenate host-side so the single upload
+            # happens inside _embed at the compute dtype
+            both = np.concatenate([np.asarray(img1), np.asarray(img2)],
+                                  axis=0)
+        n = both.shape[0] // 2
+        raw, rect, _ = self._embed(both)
         emb = rect if rectified else raw
         return pair_cosine(emb[:n], emb[n:])
 

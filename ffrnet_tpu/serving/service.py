@@ -33,6 +33,7 @@ Usage:
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
@@ -54,13 +55,15 @@ def _default_buckets(max_batch: int) -> Tuple[int, ...]:
 
 @dataclass
 class ServiceStats:
-    """Monotonic counters; read them live or after close()."""
+    """Monotonic counters (lock-guarded by the service; read any time)."""
     requests: int = 0
     faces: int = 0
     batches: int = 0
     padded_faces: int = 0   # bucket-padding overhead actually dispatched
     errors: int = 0
-    batch_sizes: list = field(default_factory=list)
+    # last 4096 dispatch sizes (bounded: a long-lived service must not grow)
+    batch_sizes: collections.deque = field(
+        default_factory=lambda: collections.deque(maxlen=4096))
 
     @property
     def mean_batch(self) -> float:
@@ -94,6 +97,10 @@ class EmbeddingService:
         self._input_hw = tuple(input_hw)
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
+        # guards the closed-check+enqueue pair in submit() against close()
+        # (prevents a request landing behind the shutdown token) and all
+        # stats mutations (counters touched from client + worker threads)
+        self._lock = threading.Lock()
         self.stats = ServiceStats()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="ffrnet-embed-service")
@@ -113,29 +120,33 @@ class EmbeddingService:
             raise ValueError(
                 f"group of {arr.shape[0]} exceeds max_batch={self._max_batch};"
                 " split it or raise max_batch")
-        if self._closed:
-            raise RuntimeError("service is closed")
         fut: Future = Future()
-        self._queue.put((arr, fut))
-        self.stats.requests += 1
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._queue.put((arr, fut))
+            self.stats.requests += 1
         return fut
 
     def warmup(self) -> None:
         """Compile every bucket program up front (avoids first-request
         latency spikes). Blocks until all buckets have executed once."""
-        import jax
-
         h, w = self._input_hw
         for b in self._buckets:
-            out = self._model.embed(np.zeros((b, h, w, 3), np.float32))
-            jax.block_until_ready(out)
+            raw, _ = self._model.embed(np.zeros((b, h, w, 3), np.float32))
+            # materialize (device_get), not block_until_ready: the latter is
+            # a no-op through relay-attached TPUs (CLAUDE.md) and would let
+            # warmup return with executions still in flight
+            np.asarray(raw)
 
     def close(self, timeout: Optional[float] = 10.0) -> None:
         """Stop accepting work, drain the queue, join the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)  # wake the collector
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)  # wake the collector; FIFO guarantees
+            # every already-accepted request is drained first
         self._worker.join(timeout=timeout)
 
     def __enter__(self) -> "EmbeddingService":
@@ -187,27 +198,35 @@ class EmbeddingService:
                     # behind the remaining work so it is drained first
                     self._queue.put(None)
                 continue
-            arrs = [a for a, _ in batch]
-            total = sum(a.shape[0] for a in arrs)
-            bucket = next(b for b in self._buckets if b >= total)
-            h, w = self._input_hw
-            x = np.zeros((bucket, h, w, 3), np.float32)
-            np.concatenate(arrs, axis=0, out=x[:total])
-            try:
-                raw, rect = self._model.embed(x)
-            except Exception as e:  # noqa: BLE001 — propagate to callers
-                self.stats.errors += len(batch)
-                for _, fut in batch:
-                    if not fut.cancelled():
-                        fut.set_exception(e)
+            # claim every future before dispatching: a future in RUNNING
+            # state cannot be cancel()ed, so set_result/set_exception below
+            # cannot race a caller's cancel into InvalidStateError
+            live = [(a, fut) for a, fut in batch
+                    if fut.set_running_or_notify_cancel()]
+            if not live:
                 continue
-            self.stats.batches += 1
-            self.stats.faces += total
-            self.stats.padded_faces += bucket - total
-            self.stats.batch_sizes.append(total)
+            try:
+                arrs = [a for a, _ in live]
+                total = sum(a.shape[0] for a in arrs)
+                bucket = next(b for b in self._buckets if b >= total)
+                h, w = self._input_hw
+                x = np.zeros((bucket, h, w, 3), np.float32)
+                np.concatenate(arrs, axis=0, out=x[:total])
+                raw, rect = self._model.embed(x)
+            except Exception as e:  # noqa: BLE001 — propagate to callers;
+                # the collector thread must survive any batch failure
+                with self._lock:
+                    self.stats.errors += len(live)
+                for _, fut in live:
+                    fut.set_exception(e)
+                continue
+            with self._lock:
+                self.stats.batches += 1
+                self.stats.faces += total
+                self.stats.padded_faces += bucket - total
+                self.stats.batch_sizes.append(total)
             off = 0
-            for a, fut in batch:
+            for a, fut in live:
                 k = a.shape[0]
-                if not fut.cancelled():
-                    fut.set_result((raw[off:off + k], rect[off:off + k]))
+                fut.set_result((raw[off:off + k], rect[off:off + k]))
                 off += k

@@ -61,18 +61,29 @@ def main(argv=None) -> dict:
     lat_lock = threading.Lock()
     latencies: list = []
     served = [0]
+    client_errors = [0]
 
     def client():
-        my_lat, my_served = [], 0
-        while time.monotonic() < stop:
-            t0 = time.monotonic()
-            raw, _ = svc.submit(face).result(timeout=120)
-            np.asarray(raw)  # materialize: device exec + transfer complete
-            my_lat.append(time.monotonic() - t0)
-            my_served += args.group
-        with lat_lock:
-            latencies.extend(my_lat)
-            served[0] += my_served
+        import sys
+
+        my_lat, my_served, my_err = [], 0, 0
+        try:
+            while time.monotonic() < stop:
+                t0 = time.monotonic()
+                raw, _ = svc.submit(face).result(timeout=120)
+                np.asarray(raw)  # materialize: exec + transfer complete
+                my_lat.append(time.monotonic() - t0)
+                my_served += args.group
+        except Exception as e:  # noqa: BLE001 — a dead client must not
+            # silently shrink the measurement; surface it in the output
+            my_err = 1
+            print(f"[bench_serving] client error: {e!r}", file=sys.stderr,
+                  flush=True)
+        finally:
+            with lat_lock:
+                latencies.extend(my_lat)
+                served[0] += my_served
+                client_errors[0] += my_err
 
     threads = [threading.Thread(target=client) for _ in range(args.clients)]
     t0 = time.monotonic()
@@ -93,6 +104,7 @@ def main(argv=None) -> dict:
         "requests": len(latencies),
         "latency_ms_p50": round(float(lat[len(lat) // 2]), 1) if len(lat) else None,
         "latency_ms_p99": round(float(lat[int(len(lat) * 0.99)]), 1) if len(lat) else None,
+        "client_errors": client_errors[0],
         "dispatches": svc.stats.batches,
         "mean_batch": round(svc.stats.mean_batch, 1),
         "padded_frac": round(svc.stats.padded_faces

@@ -59,6 +59,15 @@ def test_sharded_embed_pads_indivisible_batch(model):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_prepare_preserves_sharding(model):
+    # .shard().prepare(...) must stay sharded (regression: prepare used to
+    # rebuild without the batch_sharding field)
+    sharded = model.shard(make_mesh()).prepare(dtype=jnp.bfloat16)
+    assert sharded.batch_sharding is not None
+    raw, _ = sharded.embed(_faces(8, seed=4))
+    assert raw.shape == (8, 512) and raw.dtype == jnp.bfloat16
+
+
 def test_sharded_verify(model):
     sharded = model.shard(make_mesh())
     a, b = _faces(6, seed=1), _faces(6, seed=2)
