@@ -115,8 +115,11 @@ def _pallas_section(dtype):
     from ffrnet_tpu.tools.pallas_probe import probe_pallas
     from ffrnet_tpu.tools.timing import time_op as _time_op
 
+    # 120s x 2 attempts: a stale relay session (earlier TPU process that
+    # died uncleanly) was observed to delay session acquisition ~90-240s
+    # before recovering; a true pallas relay hang still reports cleanly
     res = probe_pallas(
-        timeout_s=float(os.environ.get("FFRNET_PALLAS_PROBE_TIMEOUT", "90")))
+        timeout_s=float(os.environ.get("FFRNET_PALLAS_PROBE_TIMEOUT", "120")))
     section = {"verdict": res["verdict"]}
     if not res["available"]:
         section["kernels"] = "skipped (probe: %s)" % res["verdict"]
