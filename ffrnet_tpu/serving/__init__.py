@@ -1,3 +1,4 @@
+from ffrnet_tpu.serving.http import EmbeddingHTTPServer
 from ffrnet_tpu.serving.service import EmbeddingService, ServiceStats
 
-__all__ = ["EmbeddingService", "ServiceStats"]
+__all__ = ["EmbeddingHTTPServer", "EmbeddingService", "ServiceStats"]

@@ -6,6 +6,7 @@ equivalents: FFRNet.shard (mesh data parallelism) and EmbeddingService
 (dynamic micro-batching).
 """
 
+import json
 import threading
 
 import numpy as np
@@ -153,6 +154,49 @@ def test_service_rejects_bad_shapes_and_closed(model):
     svc.close()
     with pytest.raises(RuntimeError):
         svc.submit(np.zeros((112, 112, 3), np.float32))
+
+
+def test_http_server_embed_verify_stats(model):
+    import urllib.request
+
+    from ffrnet_tpu.serving import EmbeddingHTTPServer
+
+    x = _faces(6, seed=21)
+    raw0, rect0 = model.embed(x)
+    svc = EmbeddingService(model, max_batch=8, max_delay_s=0.0)
+    with EmbeddingHTTPServer(svc) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+        # healthz
+        assert urllib.request.urlopen(base + "/healthz").read() == b"ok"
+        # embed
+        body = np.ascontiguousarray(x, "<f4").tobytes()
+        out = urllib.request.urlopen(
+            urllib.request.Request(base + "/embed", data=body,
+                                   method="POST")).read()
+        emb = np.frombuffer(out, "<f4").reshape(2, 6, 512)
+        np.testing.assert_allclose(emb[0], np.asarray(raw0, np.float32),
+                                   atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(emb[1], np.asarray(rect0, np.float32),
+                                   atol=2e-5, rtol=2e-5)
+        # verify (3 pairs) vs the facade's scores
+        s0 = np.asarray(model.verify(x[:3], x[3:]), np.float32)
+        out = urllib.request.urlopen(
+            urllib.request.Request(base + "/verify", data=body,
+                                   method="POST")).read()
+        np.testing.assert_allclose(np.frombuffer(out, "<f4"), s0,
+                                   atol=2e-4, rtol=2e-4)
+        # stats
+        stats = json.loads(
+            urllib.request.urlopen(base + "/stats").read())
+        assert stats["faces"] >= 12 and stats["errors"] == 0
+        # malformed body -> 400
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                base + "/embed", data=b"xx", method="POST"))
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    svc.close()
 
 
 @pytest.mark.slow
