@@ -46,6 +46,12 @@ class RecNetConfig:
     s: float = 30.0  # CosFace scale
     m: float = 0.40  # CosFace additive margin
     ss_impl: str = "xla"  # 'xla' | 'pallas' self-similarity implementation
+    remat_channel: bool = False  # jax.checkpoint ONLY the channel-attention
+    # branch in training: recomputes the (N,512,512) M_channel + its
+    # Linear/PReLU intermediates in the backward pass instead of storing
+    # them — the dominant activation memory at large batch (BASELINE.md);
+    # unlike full-branch remat (TrainerConfig.remat) the recompute here is
+    # cheap (~27 GFLOP at N=256) relative to the bytes saved
 
     @property
     def hw(self) -> int:
@@ -226,15 +232,24 @@ def apply(params, state, featmap, label=None, *, cfg: RecNetConfig = RecNetConfi
     # --- channel attention ---------------------------------------------------
     flat = pos.transpose(0, 2, 1)  # (N, 512, 49): rows = channels
     chan_cat = jnp.concatenate([flat, ss_channel], axis=2)  # (N, 512, 561)
-    m_channel = _conv4channel(params["conv4channel"], chan_cat)  # (N, 512, 512)
 
-    # --- rectification matmuls (models/recnet.py:408-410) --------------------
+    def channel_branch(p_c4c, chan_cat, pos):
+        m_channel = _conv4channel(p_c4c, chan_cat)  # (N, 512, 512)
+        # feat_channel[c, q] = sum_d M_channel[c, d] X[d, q]
+        # (rectification matmul, models/recnet.py:409)
+        fc_pos = jnp.einsum("nqd,ncd->nqc", pos, m_channel,
+                            preferred_element_type=pos.dtype)
+        return m_channel, fc_pos
+
+    if cfg.remat_channel and training:
+        channel_branch = jax.checkpoint(channel_branch)
+    m_channel, feat_channel_pos = channel_branch(
+        params["conv4channel"], chan_cat, pos)
+
+    # --- spatial rectification matmul (models/recnet.py:408) -----------------
     # feat_space[c, q'] = sum_q X[c, q] M_space[q, q']
     feat_space_pos = jnp.einsum(
         "nqp,nqc->npc", m_space, pos, preferred_element_type=pos.dtype)
-    # feat_channel[c, q] = sum_d M_channel[c, d] X[d, q]
-    feat_channel_pos = jnp.einsum(
-        "nqd,ncd->nqc", pos, m_channel, preferred_element_type=pos.dtype)
     feat_space = feat_space_pos.reshape(n, h, w, c)
     feat_channel = feat_channel_pos.reshape(n, h, w, c)
 

@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--remat", type=int, default=0,
                    help="jax.checkpoint the RecNet branches (recompute in "
                         "backward; measures the remat-vs-store tradeoff)")
+    p.add_argument("--remat_channel", type=int, default=0,
+                   help="jax.checkpoint ONLY the channel-attention branch "
+                        "(RecNetConfig.remat_channel): drops the (N,512,512) "
+                        "M_channel intermediates from the stored residuals")
     p.add_argument("--features", type=int, default=0,
                    help="feature-cached mode: run encode_frozen once, then "
                         "time RecNet-only steps (train_step_from_features) "
@@ -46,7 +50,9 @@ def main(argv=None):
 
     cfg = TrainerConfig(optimizer=args.optimizer, lr=1e-3,
                         compute_dtype=args.dtype, remat=bool(args.remat),
-                        recnet=RecNetConfig(num_classes=args.num_classes))
+                        recnet=RecNetConfig(
+                            num_classes=args.num_classes,
+                            remat_channel=bool(args.remat_channel)))
     enc_params, enc_state = irse.init(jax.random.PRNGKey(0))
     state = create_train_state(jax.random.PRNGKey(1), cfg)
 
@@ -97,6 +103,7 @@ def main(argv=None):
         "batch": args.batch,
         "dtype": args.dtype,
         "remat": bool(args.remat),
+        "remat_channel": bool(args.remat_channel),
         "features": bool(args.features),
         "step_ms": round(1e3 * dt / args.iters, 2),
     }))

@@ -156,6 +156,20 @@ def test_service_rejects_bad_shapes_and_closed(model):
         svc.submit(np.zeros((112, 112, 3), np.float32))
 
 
+@pytest.mark.slow
+def test_service_over_sharded_model(model):
+    # the full production stack: mesh-DP model behind the batching service
+    sharded = model.shard(make_mesh())
+    x = _faces(10, seed=17)
+    raw0, _ = model.embed(x)
+    with EmbeddingService(sharded, max_batch=16, max_delay_s=0.01) as svc:
+        futs = [svc.submit(x[i]) for i in range(10)]
+        outs = [f.result(timeout=120) for f in futs]
+    for i, (raw, _) in enumerate(outs):
+        np.testing.assert_allclose(np.asarray(raw[0]), np.asarray(raw0[i]),
+                                   atol=2e-5, rtol=2e-5)
+
+
 def test_http_server_embed_verify_stats(model):
     import urllib.request
 
