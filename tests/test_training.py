@@ -415,12 +415,17 @@ def test_remat_step_matches_plain():
     cfg = TrainerConfig(optimizer="adam", lr=1e-3,
                         recnet=RecNetConfig(num_classes=8))
     cfg_r = dataclasses.replace(cfg, remat=True)
+    # selective channel-attention remat (RecNetConfig.remat_channel) must be
+    # equally numerics-preserving
+    cfg_rc = dataclasses.replace(
+        cfg, recnet=RecNetConfig(num_classes=8, remat_channel=True))
     state = create_train_state(jax.random.PRNGKey(1), cfg)
     s1, m1 = jax.jit(functools.partial(
         train_step_from_features, cfg=cfg))(state, feats)
-    s2, m2 = jax.jit(functools.partial(
-        train_step_from_features, cfg=cfg_r))(state, feats)
-    np.testing.assert_allclose(float(m1["TotalLoss"]), float(m2["TotalLoss"]),
-                               rtol=1e-6)
-    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
-                 s1.params, s2.params)
+    for alt in (cfg_r, cfg_rc):
+        s2, m2 = jax.jit(functools.partial(
+            train_step_from_features, cfg=alt))(state, feats)
+        np.testing.assert_allclose(float(m1["TotalLoss"]),
+                                   float(m2["TotalLoss"]), rtol=1e-6)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                     s1.params, s2.params)
