@@ -36,6 +36,39 @@ from ffrnet_tpu.utils.logger import Logger
 from ffrnet_tpu.utils.timer import Timer
 
 
+class PreemptionGuard:
+    """Preemption-safe training: SIGTERM/SIGUSR1 -> finish the in-flight
+    step, write the 'latest' checkpoint, exit cleanly with a resume hint.
+
+    TPU pods and most cloud schedulers deliver SIGTERM (or a SIGUSR1-style
+    preemption notice) with a grace window; the reference has no handling —
+    a preempted run loses everything since its last periodic save and
+    resumes only by manual `--continue_train 1` (train.py:29-42). The
+    handler only sets a flag; all real work happens at a safe point in the
+    train loop, so a signal can never corrupt a half-written checkpoint
+    (checkpoint writes are atomic regardless, checkpoint/store.py).
+    """
+
+    def __init__(self):
+        self.requested = False
+
+    def install(self) -> "PreemptionGuard":
+        import signal
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            signal.signal(sig, self._handler)
+        return self
+
+    def _handler(self, signum, frame):
+        self.requested = True
+        print(f"[preempt] signal {signum} received — will checkpoint and "
+              "exit after the current step", file=sys.stderr, flush=True)
+
+
+#: module-level so tests (and embedding applications) can trigger/inspect it
+preemption_guard = PreemptionGuard()
+
+
 def maybe_init_distributed() -> None:
     """Multi-host initialization (jax.distributed) when launched under a
     multi-process coordinator. Single-process runs skip this. Controlled by
@@ -121,6 +154,16 @@ def eval_lfw(opts: Options, enc, rec, ocl_num: int, cfg, score_fn=None,
 
 
 def train(opts: Options) -> None:
+    # arm the preemption guard FIRST: setup (weight import, compile,
+    # placement) takes long enough that a grace-window signal can land
+    # before the loop starts — it must not be lost (or kill the process)
+    guard = preemption_guard
+    guard.requested = False
+    try:
+        guard.install()
+    except ValueError:  # not the main thread (e.g. driven from a test)
+        pass
+
     logger = Logger(opts.log_dir, opts.save_weight_dir, phase="train")
     timer = Timer()
     cfg = opts.trainer_config()
@@ -202,6 +245,17 @@ def train(opts: Options) -> None:
                                 model_state=state.model_state,
                                 opt_state=state.opt_state,
                                 epoch=epoch, iteration=cur_iters)
+
+            if guard.requested:
+                save_checkpoint(opts.ckpt_dir, "latest", params=state.params,
+                                model_state=state.model_state,
+                                opt_state=state.opt_state,
+                                epoch=epoch, iteration=cur_iters)
+                print(f"[preempt] checkpointed at iter {cur_iters} "
+                      f"(epoch {epoch}); resume with --continue_train 1 "
+                      "--which_file latest", file=sys.stderr, flush=True)
+                logger.close()
+                return
 
             if opts.eval_freq and cur_iters % opts.eval_freq == 0 and opts.test_data:
                 rec = (state.params, state.model_state)
