@@ -1,0 +1,76 @@
+"""1:N identification: cosine gallery search on device.
+
+The reference only implements 1:1 verification (pair cosine + threshold,
+lfw/lfw_eval.py:226-259); identification against an enrolled gallery is the
+other half of a production face-recognition deployment. On TPU it is one
+(P, 512) @ (512, G) matmul + `lax.top_k` — MXU-shaped at any gallery size
+that fits HBM (a 1M-identity gallery in bf16 is ~1 GB).
+
+    gal = Gallery.build(model, enroll_images, labels)
+    scores, labels = gal.search(model, probe_images, k=5)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ffrnet_tpu.ops import nn as ops
+
+
+@partial(jax.jit, static_argnames=("k",))
+def top_k_identify(probe_emb, gallery_emb, *, k: int = 1):
+    """Cosine top-k search. probe_emb (P, D), gallery_emb (G, D) ->
+    (scores (P, k) desc, indices (P, k) into the gallery).
+
+    Embeddings are L2-normalized here, so raw (already-normalized) encoder
+    embeddings and unnormalized rectified embeddings both work.
+    """
+    p = ops.l2_normalize(probe_emb.astype(jnp.float32), axis=1)
+    g = ops.l2_normalize(gallery_emb.astype(jnp.float32), axis=1)
+    sims = jnp.matmul(p, g.T, preferred_element_type=jnp.float32)  # (P, G)
+    return jax.lax.top_k(sims, k)
+
+
+@dataclass
+class Gallery:
+    """Enrolled identities: embeddings (G, D) on device + parallel labels."""
+
+    embeddings: Any               # (G, D) jnp array
+    labels: Sequence              # length G (ints or strings)
+
+    @classmethod
+    def build(cls, model, images, labels, *, rectified: bool = True,
+              batch_size: int = 256) -> "Gallery":
+        """Enroll aligned faces through `model` (an api.FFRNet)."""
+        import numpy as np
+
+        if len(images) != len(labels):
+            raise ValueError("images and labels must be parallel")
+        chunks = []
+        for i in range(0, len(images), batch_size):
+            raw, rect = model.embed(images[i:i + batch_size])
+            chunks.append(rect if rectified else raw)
+        return cls(jnp.concatenate(chunks, axis=0), list(labels))
+
+    def add(self, model, images, labels, *, rectified: bool = True) -> "Gallery":
+        other = Gallery.build(model, images, labels, rectified=rectified)
+        return Gallery(jnp.concatenate([self.embeddings, other.embeddings]),
+                       list(self.labels) + list(other.labels))
+
+    def search(self, model, probe_images, *, k: int = 1,
+               rectified: bool = True) -> Tuple[Any, list]:
+        """-> (scores (P, k), labels: P lists of k gallery labels)."""
+        if k > len(self.labels):
+            raise ValueError(f"k={k} exceeds gallery size {len(self.labels)}")
+        raw, rect = model.embed(probe_images)
+        scores, idx = top_k_identify(rect if rectified else raw,
+                                     self.embeddings, k=k)
+        import numpy as np
+
+        idx = np.asarray(idx)
+        return scores, [[self.labels[j] for j in row] for row in idx]

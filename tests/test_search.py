@@ -1,0 +1,52 @@
+"""1:N identification search (eval/search.py) — the deployment-side
+complement to the reference's 1:1 verification (lfw/lfw_eval.py:226-259)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ffrnet_tpu.api import FFRNet
+from ffrnet_tpu.eval.search import Gallery, top_k_identify
+
+
+def test_top_k_matches_numpy():
+    rng = np.random.default_rng(0)
+    p = rng.standard_normal((7, 64)).astype(np.float32)
+    g = rng.standard_normal((25, 64)).astype(np.float32)
+    scores, idx = top_k_identify(jnp.asarray(p), jnp.asarray(g), k=5)
+
+    pn = p / np.linalg.norm(p, axis=1, keepdims=True)
+    gn = g / np.linalg.norm(g, axis=1, keepdims=True)
+    sims = pn @ gn.T
+    ref_idx = np.argsort(-sims, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(np.asarray(scores),
+                               np.take_along_axis(sims, ref_idx, axis=1),
+                               atol=1e-5)
+
+
+def test_gallery_end_to_end_rank1():
+    model = FFRNet.random(0)
+    rng = np.random.default_rng(1)
+    enroll = rng.uniform(-1, 1, (6, 112, 112, 3)).astype(np.float32)
+    labels = [f"id{i}" for i in range(6)]
+    gal = Gallery.build(model, enroll, labels, batch_size=4)
+    assert gal.embeddings.shape == (6, 512)
+
+    # probing with the enrolled images themselves must be rank-1 exact
+    scores, found = gal.search(model, enroll, k=2)
+    assert [row[0] for row in found] == labels
+    np.testing.assert_allclose(np.asarray(scores)[:, 0], 1.0, atol=1e-4)
+
+    # add() extends the gallery
+    extra = rng.uniform(-1, 1, (2, 112, 112, 3)).astype(np.float32)
+    gal2 = gal.add(model, extra, ["id6", "id7"])
+    assert len(gal2.labels) == 8 and gal2.embeddings.shape == (8, 512)
+    _, found2 = gal2.search(model, extra, k=1)
+    assert [row[0] for row in found2] == ["id6", "id7"]
+
+    with pytest.raises(ValueError):
+        gal.search(model, enroll, k=99)
+    with pytest.raises(ValueError):
+        Gallery.build(model, enroll, labels[:-1])
