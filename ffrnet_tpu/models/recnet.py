@@ -46,6 +46,11 @@ class RecNetConfig:
     s: float = 30.0  # CosFace scale
     m: float = 0.40  # CosFace additive margin
     ss_impl: str = "xla"  # 'xla' | 'pallas' self-similarity implementation
+    c4c_impl: str = "factored"  # 'factored' | 'materialized' channel
+    # attention: 'factored' never builds the (N,C,C) Gram (exact algebraic
+    # rewrite, 2.7x faster — see _conv4channel_factored); 'materialized'
+    # is the literal reference dataflow (and the path used when
+    # ss_impl='pallas' supplies a fused Gram anyway)
     remat_channel: bool = False  # jax.checkpoint ONLY the channel-attention
     # branch in training: recomputes the (N,512,512) M_channel + its
     # Linear/PReLU intermediates in the backward pass instead of storing
@@ -202,6 +207,58 @@ def _conv4channel(params, x):
     return jax.nn.sigmoid(x)
 
 
+def _lin_2d(p, x):
+    """Linear over the last axis via one flat 2-D matmul: measured ~1.6x the
+    (N, R, K) batched form on TPU (BASELINE.md round 3)."""
+    n, r, k = x.shape
+    y = x.reshape(n * r, k) @ p["w"].T
+    b = p.get("b")
+    if b is not None:
+        y = y + b
+    return y.reshape(n, r, -1)
+
+
+def _conv4channel_factored(params, flat, *, eps: float = 1e-12):
+    """_conv4channel without ever materializing the (N, C, C) Gram.
+
+    The reference feeds cat(flat, ss_channel) to the first Linear
+    (models/recnet.py:380,406). Splitting that Linear's weight into the
+    columns that hit `flat` (w1f, K=49) and the columns that hit the Gram
+    (w1s, K=512), associativity gives an algebraically exact rewrite:
+
+        ss_channel @ w1s.T = (ghat @ ghat.T) @ w1s.T = ghat @ (ghat.T @ w1s.T)
+
+    with ghat = L2-normalized rows of `flat` — two rank-49 matmuls
+    (~0.8 GFLOP at batch 256) instead of building and consuming a 134 MB
+    (N,512,512) tensor (~4.3 GFLOP + the concat materialization). Measured
+    2.7x on the whole channel branch (BASELINE.md round 3). Numerics differ
+    from the materialized path only by float reassociation.
+
+    flat: (N, C, HW) channel-major view of the feature map.
+    """
+    w1 = params["lin0"]["w"]           # (32, HW + C)
+    b1 = params["lin0"].get("b")
+    q = flat.shape[2]
+    w1f, w1s = w1[:, :q], w1[:, q:]
+    ghat = ops.l2_normalize(flat, axis=2, eps=eps)
+    h = jnp.einsum("ncq,oq->nco", flat, w1f,
+                   preferred_element_type=jnp.float32)
+    t = jnp.einsum("od,ndq->noq", w1s, ghat,
+                   preferred_element_type=jnp.float32).astype(flat.dtype)
+    h = (h + jnp.einsum("ncq,noq->nco", ghat, t,
+                        preferred_element_type=jnp.float32)
+         ).astype(flat.dtype)
+    if b1 is not None:
+        h = h + b1
+    h = ops.prelu(h, params["prelu0"]["slope"], axis=1)
+    x = _lin_2d(params["lin1"], h)
+    for i in (1, 2):
+        x = _lin_2d(params[f"lin{2 * i}"], x)
+        x = ops.prelu(x, params[f"prelu{i}"]["slope"], axis=1)
+        x = _lin_2d(params[f"lin{2 * i + 1}"], x)
+    return jax.nn.sigmoid(x)
+
+
 def apply(params, state, featmap, label=None, *, cfg: RecNetConfig = RecNetConfig(),
           training: bool = False):
     """RecNet forward.
@@ -231,10 +288,19 @@ def apply(params, state, featmap, label=None, *, cfg: RecNetConfig = RecNetConfi
 
     # --- channel attention ---------------------------------------------------
     flat = pos.transpose(0, 2, 1)  # (N, 512, 49): rows = channels
-    chan_cat = jnp.concatenate([flat, ss_channel], axis=2)  # (N, 512, 561)
+    # 'factored' skips the Gram/concat entirely; when ss_impl='pallas' the
+    # fused kernel already produced ss_channel, so consuming it is free
+    factored = cfg.c4c_impl == "factored" and cfg.ss_impl != "pallas"
+    if factored:
+        first_arg = flat  # (the unused ss_channel einsum above is DCE'd)
+    else:
+        first_arg = jnp.concatenate([flat, ss_channel], axis=2)  # (N,512,561)
 
-    def channel_branch(p_c4c, chan_cat, pos):
-        m_channel = _conv4channel(p_c4c, chan_cat)  # (N, 512, 512)
+    def channel_branch(p_c4c, x_in, pos):
+        if factored:
+            m_channel = _conv4channel_factored(p_c4c, x_in)  # (N, 512, 512)
+        else:
+            m_channel = _conv4channel(p_c4c, x_in)
         # feat_channel[c, q] = sum_d M_channel[c, d] X[d, q]
         # (rectification matmul, models/recnet.py:409)
         fc_pos = jnp.einsum("nqd,ncd->nqc", pos, m_channel,
@@ -244,7 +310,7 @@ def apply(params, state, featmap, label=None, *, cfg: RecNetConfig = RecNetConfi
     if cfg.remat_channel and training:
         channel_branch = jax.checkpoint(channel_branch)
     m_channel, feat_channel_pos = channel_branch(
-        params["conv4channel"], chan_cat, pos)
+        params["conv4channel"], first_arg, pos)
 
     # --- spatial rectification matmul (models/recnet.py:408) -----------------
     # feat_space[c, q'] = sum_q X[c, q] M_space[q, q']

@@ -73,6 +73,34 @@ def test_backbone_parity(reference, ref_backbone):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_c4c_factored_matches_materialized():
+    """The default 'factored' channel attention (Gram never materialized,
+    recnet._conv4channel_factored) must match the literal reference
+    dataflow to float-reassociation tolerance, in both modes."""
+    import dataclasses
+
+    from ffrnet_tpu.models import recnet as rn
+
+    cfg_f = rn.RecNetConfig(num_classes=16)
+    cfg_m = dataclasses.replace(cfg_f, c4c_impl="materialized")
+    params, state = rn.init(jax.random.PRNGKey(3), cfg_f)
+    rng = np.random.default_rng(0)
+    fm = jnp.asarray(rng.standard_normal((3, 7, 7, 512)).astype(np.float32))
+    (fv_f, fn_f), _ = rn.apply(params, state, fm, cfg=cfg_f, training=False)
+    (fv_m, fn_m), _ = rn.apply(params, state, fm, cfg=cfg_m, training=False)
+    np.testing.assert_allclose(np.asarray(fv_f), np.asarray(fv_m), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(fn_f), np.asarray(fn_m), atol=5e-4)
+
+    lab = jnp.asarray([0, 1, 2])
+    out_f, _ = rn.apply(params, state, fm, lab, cfg=cfg_f, training=True)
+    out_m, _ = rn.apply(params, state, fm, lab, cfg=cfg_m, training=True)
+    for name in ("feat_new_v", "logits", "m_channel", "feat_channel"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_f, name)),
+            np.asarray(getattr(out_m, name)), atol=5e-5,
+            err_msg=name)
+
+
 def test_self_similarity_parity(reference, ref_recnet):
     torch = reference.torch
     rng = np.random.default_rng(11)
