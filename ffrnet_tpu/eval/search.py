@@ -23,16 +23,24 @@ from ffrnet_tpu.ops import nn as ops
 
 
 @partial(jax.jit, static_argnames=("k",))
-def top_k_identify(probe_emb, gallery_emb, *, k: int = 1):
+def top_k_identify(probe_emb, gallery_emb, *, k: int = 1,
+                   valid: Optional[Any] = None):
     """Cosine top-k search. probe_emb (P, D), gallery_emb (G, D) ->
     (scores (P, k) desc, indices (P, k) into the gallery).
 
     Embeddings are L2-normalized here, so raw (already-normalized) encoder
     embeddings and unnormalized rectified embeddings both work.
+
+    valid: optional traced scalar — rows >= valid are capacity padding and
+    score -2 (below any cosine). Serving keeps the gallery at power-of-two
+    capacity so enrolls don't recompile this program; only capacity
+    doublings and new (P, k) shapes compile.
     """
     p = ops.l2_normalize(probe_emb.astype(jnp.float32), axis=1)
     g = ops.l2_normalize(gallery_emb.astype(jnp.float32), axis=1)
     sims = jnp.matmul(p, g.T, preferred_element_type=jnp.float32)  # (P, G)
+    if valid is not None:
+        sims = jnp.where(jnp.arange(g.shape[0])[None] < valid, sims, -2.0)
     return jax.lax.top_k(sims, k)
 
 

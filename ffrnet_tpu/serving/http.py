@@ -15,6 +15,11 @@ Endpoints:
   POST /verify    body = float32 LE bytes of (2*N, 112, 112, 3) — first N =
                   img1, last N = img2 -> float32 LE bytes of (N,) cosine
                   scores (rectified embeddings)
+  POST /enroll    1:N gallery enrollment. Header X-Labels: comma-separated
+                  N labels; body = N faces as above -> JSON {"enrolled": N,
+                  "gallery_size": G}
+  POST /identify  Header X-Top-K (default 1); body = P faces -> JSON
+                  {"labels": [[...k per probe]], "scores": [[...]]}
   GET  /healthz   -> 200 "ok" once the service is up
   GET  /stats     -> 200 JSON ServiceStats snapshot
 
@@ -43,6 +48,11 @@ class EmbeddingHTTPServer:
 
     def __init__(self, service, addr: Tuple[str, int] = ("127.0.0.1", 0)):
         self._service = service
+        # 1:N gallery state for /enroll + /identify (embeddings stacked on
+        # device, labels host-side); guarded — enrolls can race identifies
+        self._gallery_lock = threading.Lock()
+        self._gallery_emb = None      # (G, 512) jnp array or None
+        self._gallery_labels: list = []
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -106,6 +116,31 @@ class EmbeddingHTTPServer:
                         b = b / np.linalg.norm(b, axis=1, keepdims=True)
                         scores = np.sum(a * b, axis=1)
                         self._reply(200, scores.astype("<f4").tobytes())
+                    elif self.path == "/enroll":
+                        labels = [s for s in
+                                  self.headers.get("X-Labels", "").split(",")
+                                  if s]
+                        if len(labels) != faces.shape[0]:
+                            self._reply(400, b"X-Labels count != face count",
+                                        "text/plain")
+                            return
+                        _, rect = outer._service.submit(faces).result()
+                        g = outer._enroll(rect, labels)
+                        self._reply(200, json.dumps(
+                            {"enrolled": len(labels),
+                             "gallery_size": g}).encode(),
+                            "application/json")
+                    elif self.path == "/identify":
+                        k = int(self.headers.get("X-Top-K", "1"))
+                        _, rect = outer._service.submit(faces).result()
+                        res = outer._identify(rect, k)
+                        if res is None:
+                            self._reply(409, b"gallery is empty or k too "
+                                        b"large; POST /enroll first",
+                                        "text/plain")
+                            return
+                        self._reply(200, json.dumps(res).encode(),
+                                    "application/json")
                     else:
                         self._reply(404, b"not found", "text/plain")
                 except Exception as e:  # noqa: BLE001 — HTTP error, not a crash
@@ -115,6 +150,54 @@ class EmbeddingHTTPServer:
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True,
                                         name="ffrnet-http-server")
+
+    # --------------------------------------------------------- 1:N gallery
+    # The gallery array is kept at power-of-two CAPACITY (zero rows beyond
+    # `len(labels)` are masked out at search time via `valid`), so per-face
+    # enrolls reuse one compiled search program until capacity doubles.
+    def _enroll(self, rect_emb, labels) -> int:
+        import jax.numpy as jnp
+
+        emb = jnp.asarray(rect_emb, jnp.float32)
+        with self._gallery_lock:
+            n_new = len(self._gallery_labels) + emb.shape[0]
+            cap = max(8, 1 << (n_new - 1).bit_length())
+            if self._gallery_emb is None:
+                base = jnp.zeros((cap, emb.shape[1]), jnp.float32)
+                g = base.at[:emb.shape[0]].set(emb)
+            else:
+                g = self._gallery_emb
+                if g.shape[0] < cap:
+                    g = jnp.concatenate(
+                        [g, jnp.zeros((cap - g.shape[0], g.shape[1]),
+                                      jnp.float32)], axis=0)
+                off = len(self._gallery_labels)
+                g = g.at[off:off + emb.shape[0]].set(emb)
+            self._gallery_emb = g
+            self._gallery_labels.extend(labels)
+            return len(self._gallery_labels)
+
+    def _identify(self, rect_emb, k: int):
+        from ffrnet_tpu.eval.search import top_k_identify
+
+        import jax.numpy as jnp
+
+        with self._gallery_lock:
+            gal, labels = self._gallery_emb, list(self._gallery_labels)
+        if gal is None or k < 1 or k > len(labels):
+            return None
+        # pad probes to a multiple of 8 so arbitrary request sizes reuse a
+        # few compiled programs (valid is traced: no recompile per count)
+        p = rect_emb.shape[0]
+        pp = -(-p // 8) * 8
+        rect = jnp.asarray(rect_emb)
+        if pp != p:
+            rect = jnp.pad(rect, ((0, pp - p), (0, 0)))
+        scores, idx = top_k_identify(rect, gal, k=k, valid=len(labels))
+        scores, idx = scores[:p], idx[:p]
+        idx = np.asarray(idx)
+        return {"labels": [[labels[j] for j in row] for row in idx],
+                "scores": np.asarray(scores, np.float32).round(6).tolist()}
 
     @property
     def port(self) -> int:

@@ -213,6 +213,53 @@ def test_http_server_embed_verify_stats(model):
     svc.close()
 
 
+def test_http_enroll_identify(model):
+    import urllib.error
+    import urllib.request
+
+    from ffrnet_tpu.serving import EmbeddingHTTPServer
+
+    x = _faces(10, seed=31)
+    svc = EmbeddingService(model, max_batch=16, max_delay_s=0.0)
+    with EmbeddingHTTPServer(svc) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def post(path, arr, headers=None):
+            req = urllib.request.Request(
+                base + path, data=np.ascontiguousarray(arr, "<f4").tobytes(),
+                method="POST", headers=headers or {})
+            return urllib.request.urlopen(req)
+
+        # identify before any enrollment -> 409
+        try:
+            post("/identify", x[:1])
+            assert False, "expected 409"
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+
+        # enroll in two batches (capacity crosses the 8 -> 16 doubling)
+        r = json.loads(post("/enroll", x[:6], {
+            "X-Labels": ",".join(f"id{i}" for i in range(6))}).read())
+        assert r == {"enrolled": 6, "gallery_size": 6}
+        r = json.loads(post("/enroll", x[6:], {
+            "X-Labels": "id6,id7,id8,id9"}).read())
+        assert r == {"enrolled": 4, "gallery_size": 10}
+
+        # probing with enrolled faces: rank-1 self-match, k=2
+        r = json.loads(post("/identify", x[2:5],
+                            {"X-Top-K": "2"}).read())
+        assert [row[0] for row in r["labels"]] == ["id2", "id3", "id4"]
+        assert all(abs(s[0] - 1.0) < 1e-3 for s in r["scores"])
+
+        # label-count mismatch -> 400
+        try:
+            post("/enroll", x[:2], {"X-Labels": "only_one"})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    svc.close()
+
+
 @pytest.mark.slow
 def test_bench_serving_tool_smoke(capsys):
     from ffrnet_tpu.tools import bench_serving
