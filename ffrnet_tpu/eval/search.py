@@ -70,6 +70,25 @@ class Gallery:
         return Gallery(jnp.concatenate([self.embeddings, other.embeddings]),
                        list(self.labels) + list(other.labels))
 
+    def save(self, path: str) -> None:
+        """Persist embeddings + labels (npz) — serving restarts re-enroll
+        from this instead of re-embedding the enrollment set."""
+        import numpy as np
+
+        np.savez_compressed(path,
+                            embeddings=np.asarray(self.embeddings,
+                                                  np.float32),
+                            labels=np.asarray(self.labels, dtype=object))
+
+    @classmethod
+    def load(cls, path: str) -> "Gallery":
+        import numpy as np
+
+        with np.load(path, allow_pickle=True) as z:
+            return cls(jnp.asarray(z["embeddings"]),
+                       [x.item() if hasattr(x, "item") else x
+                        for x in z["labels"]])
+
     def search(self, model, probe_images, *, k: int = 1,
                rectified: bool = True) -> Tuple[Any, list]:
         """-> (scores (P, k), labels: P lists of k gallery labels)."""

@@ -50,3 +50,34 @@ def test_gallery_end_to_end_rank1():
         gal.search(model, enroll, k=99)
     with pytest.raises(ValueError):
         Gallery.build(model, enroll, labels[:-1])
+
+
+def test_gallery_save_load_roundtrip(tmp_path):
+    model = FFRNet.random(0)
+    rng = np.random.default_rng(2)
+    faces = rng.uniform(-1, 1, (4, 112, 112, 3)).astype(np.float32)
+    gal = Gallery.build(model, faces, ["a", "b", "c", "d"])
+    p = str(tmp_path / "gallery.npz")
+    gal.save(p)
+    gal2 = Gallery.load(p)
+    assert gal2.labels == ["a", "b", "c", "d"]
+    np.testing.assert_allclose(np.asarray(gal2.embeddings),
+                               np.asarray(gal.embeddings, np.float32),
+                               atol=1e-6)
+    _, found = gal2.search(model, faces[1:3], k=1)
+    assert [r[0] for r in found] == ["b", "c"]
+
+
+def test_top_k_valid_mask_is_traced():
+    # serving depends on `valid` being traced (capacity padding must not
+    # trigger a recompile per enroll) and masked rows scoring below -1
+    rng = np.random.default_rng(3)
+    p = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((16, 32)).astype(np.float32))
+    top_k_identify(p, g, k=2, valid=5)
+    mid = top_k_identify._cache_size()
+    top_k_identify(p, g, k=2, valid=11)
+    assert top_k_identify._cache_size() == mid  # no growth across valid
+    s, i = top_k_identify(p, g, k=16, valid=4)
+    assert np.all(np.asarray(s)[:, 4:] == -2.0)
+    assert np.all(np.asarray(i)[:, :4] < 4)
