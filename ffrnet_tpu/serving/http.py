@@ -41,18 +41,40 @@ FACE_SHAPE = (112, 112, 3)
 _FACE_BYTES = int(np.prod(FACE_SHAPE)) * 4
 
 
+def _scatter_rows(g, emb, off):
+    """Write emb into rows [off, off+len(emb)) of g with a TRACED offset:
+    one compiled program per (capacity, chunk) shape pair, reused across
+    every enroll offset (a static .at[off:...] would recompile per offset)."""
+    global _SCATTER
+    if _SCATTER is None:
+        import jax
+        from jax import lax
+
+        _SCATTER = jax.jit(
+            lambda g_, e_, o_: lax.dynamic_update_slice(g_, e_, (o_, 0)))
+    return _SCATTER(g, emb, off)
+
+
+_SCATTER = None  # module-level cache: ONE jit wrapper (a fresh jax.jit per
+# call would re-trace every enroll and defeat the reuse this exists for)
+
+
 class EmbeddingHTTPServer:
     """Serve an EmbeddingService over HTTP. Start with .start(); stop with
     .close(). `addr` is (host, port); port 0 picks a free port (see
     .port after start)."""
 
-    def __init__(self, service, addr: Tuple[str, int] = ("127.0.0.1", 0)):
+    def __init__(self, service, addr: Tuple[str, int] = ("127.0.0.1", 0),
+                 gallery=None):
         self._service = service
         # 1:N gallery state for /enroll + /identify (embeddings stacked on
         # device, labels host-side); guarded — enrolls can race identifies
         self._gallery_lock = threading.Lock()
-        self._gallery_emb = None      # (G, 512) jnp array or None
+        self._gallery_emb = None      # (cap, 512) jnp array or None
         self._gallery_labels: list = []
+        self._gallery_valid = None    # device scalar = live row count
+        if gallery is not None:       # warm start from eval.search.Gallery
+            self._enroll(gallery.embeddings, list(gallery.labels))
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -86,6 +108,14 @@ class EmbeddingHTTPServer:
             def _read_faces(self) -> Optional[np.ndarray]:
                 n_bytes = int(self.headers.get("Content-Length", 0))
                 if n_bytes <= 0 or n_bytes % _FACE_BYTES:
+                    # drain the declared body first: leaving it unread would
+                    # desync the next request on a keep-alive connection
+                    remaining = n_bytes
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 1 << 20))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
                     self._reply(400, b"body must be float32 LE (N,112,112,3)",
                                 "text/plain")
                     return None
@@ -93,15 +123,28 @@ class EmbeddingHTTPServer:
                 n = n_bytes // _FACE_BYTES
                 return np.frombuffer(raw, "<f4").reshape((n,) + FACE_SHAPE)
 
+            def _embed_chunked(self, faces):
+                """submit() in max_batch chunks so a large POST (e.g. a bulk
+                /enroll) is served instead of erroring; returns
+                (raw, rect) as float32 numpy arrays."""
+                mb = outer._service.max_batch
+                raws, rects = [], []
+                futs = [outer._service.submit(faces[i:i + mb])
+                        for i in range(0, faces.shape[0], mb)]
+                for f in futs:
+                    raw, rect = f.result()
+                    raws.append(np.asarray(raw, np.float32))
+                    rects.append(np.asarray(rect, np.float32))
+                return np.concatenate(raws), np.concatenate(rects)
+
             def do_POST(self):
                 faces = self._read_faces()
                 if faces is None:
                     return
                 try:
                     if self.path == "/embed":
-                        raw, rect = outer._service.submit(faces).result()
-                        out = np.stack([np.asarray(raw, np.float32),
-                                        np.asarray(rect, np.float32)])
+                        raw, rect = self._embed_chunked(faces)
+                        out = np.stack([raw, rect])
                         self._reply(200, out.astype("<f4").tobytes())
                     elif self.path == "/verify":
                         n = faces.shape[0]
@@ -109,8 +152,7 @@ class EmbeddingHTTPServer:
                             self._reply(400, b"verify needs an even count",
                                         "text/plain")
                             return
-                        _, rect = outer._service.submit(faces).result()
-                        rect = np.asarray(rect, np.float32)
+                        _, rect = self._embed_chunked(faces)
                         a, b = rect[: n // 2], rect[n // 2:]
                         a = a / np.linalg.norm(a, axis=1, keepdims=True)
                         b = b / np.linalg.norm(b, axis=1, keepdims=True)
@@ -124,15 +166,20 @@ class EmbeddingHTTPServer:
                             self._reply(400, b"X-Labels count != face count",
                                         "text/plain")
                             return
-                        _, rect = outer._service.submit(faces).result()
+                        _, rect = self._embed_chunked(faces)
                         g = outer._enroll(rect, labels)
                         self._reply(200, json.dumps(
                             {"enrolled": len(labels),
                              "gallery_size": g}).encode(),
                             "application/json")
                     elif self.path == "/identify":
-                        k = int(self.headers.get("X-Top-K", "1"))
-                        _, rect = outer._service.submit(faces).result()
+                        try:
+                            k = int(self.headers.get("X-Top-K", "1"))
+                        except ValueError:
+                            self._reply(400, b"X-Top-K must be an integer",
+                                        "text/plain")
+                            return
+                        _, rect = self._embed_chunked(faces)
                         res = outer._identify(rect, k)
                         if res is None:
                             self._reply(409, b"gallery is empty or k too "
@@ -153,37 +200,50 @@ class EmbeddingHTTPServer:
 
     # --------------------------------------------------------- 1:N gallery
     # The gallery array is kept at power-of-two CAPACITY (zero rows beyond
-    # `len(labels)` are masked out at search time via `valid`), so per-face
-    # enrolls reuse one compiled search program until capacity doubles.
+    # the live count are masked out at search time via the traced `valid`),
+    # and rows are written with a TRACED offset — so per-face enrolls reuse
+    # one compiled update program and one compiled search program until
+    # capacity doubles. The live count is cached as a device scalar so
+    # /identify ships no host leaf through the relay per call.
     def _enroll(self, rect_emb, labels) -> int:
         import jax.numpy as jnp
 
         emb = jnp.asarray(rect_emb, jnp.float32)
         with self._gallery_lock:
-            n_new = len(self._gallery_labels) + emb.shape[0]
+            off = len(self._gallery_labels)
+            n_new = off + emb.shape[0]
             cap = max(8, 1 << (n_new - 1).bit_length())
-            if self._gallery_emb is None:
-                base = jnp.zeros((cap, emb.shape[1]), jnp.float32)
-                g = base.at[:emb.shape[0]].set(emb)
-            else:
-                g = self._gallery_emb
-                if g.shape[0] < cap:
-                    g = jnp.concatenate(
-                        [g, jnp.zeros((cap - g.shape[0], g.shape[1]),
-                                      jnp.float32)], axis=0)
-                off = len(self._gallery_labels)
-                g = g.at[off:off + emb.shape[0]].set(emb)
-            self._gallery_emb = g
+            g = self._gallery_emb
+            if g is None:
+                g = jnp.zeros((cap, emb.shape[1]), jnp.float32)
+            elif g.shape[0] < cap:
+                g = jnp.concatenate(
+                    [g, jnp.zeros((cap - g.shape[0], g.shape[1]),
+                                  jnp.float32)], axis=0)
+            self._gallery_emb = _scatter_rows(g, emb, off)
             self._gallery_labels.extend(labels)
-            return len(self._gallery_labels)
+            self._gallery_valid = jnp.asarray(n_new, jnp.int32)
+            return n_new
 
-    def _identify(self, rect_emb, k: int):
-        from ffrnet_tpu.eval.search import top_k_identify
-
-        import jax.numpy as jnp
+    def gallery(self):
+        """Snapshot the live rows as an eval.search.Gallery (persist with
+        its .save(); warm-start a new server via the `gallery=` ctor arg)."""
+        from ffrnet_tpu.eval.search import Gallery
 
         with self._gallery_lock:
-            gal, labels = self._gallery_emb, list(self._gallery_labels)
+            if self._gallery_emb is None:
+                return Gallery(np.zeros((0, 512), np.float32), [])
+            n = len(self._gallery_labels)
+            return Gallery(self._gallery_emb[:n], list(self._gallery_labels))
+
+    def _identify(self, rect_emb, k: int):
+        import jax.numpy as jnp
+
+        from ffrnet_tpu.eval.search import top_k_identify
+
+        with self._gallery_lock:
+            gal, valid = self._gallery_emb, self._gallery_valid
+            labels = list(self._gallery_labels)
         if gal is None or k < 1 or k > len(labels):
             return None
         # pad probes to a multiple of 8 so arbitrary request sizes reuse a
@@ -193,7 +253,7 @@ class EmbeddingHTTPServer:
         rect = jnp.asarray(rect_emb)
         if pp != p:
             rect = jnp.pad(rect, ((0, pp - p), (0, 0)))
-        scores, idx = top_k_identify(rect, gal, k=k, valid=len(labels))
+        scores, idx = top_k_identify(rect, gal, k=k, valid=valid)
         scores, idx = scores[:p], idx[:p]
         idx = np.asarray(idx)
         return {"labels": [[labels[j] for j in row] for row in idx],

@@ -107,6 +107,11 @@ class EmbeddingService:
         self._worker.start()
 
     # ------------------------------------------------------------------ API
+    @property
+    def max_batch(self) -> int:
+        """Largest group accepted by a single submit()."""
+        return self._max_batch
+
     def submit(self, faces) -> Future:
         """Enqueue one face or one (k, H, W, 3) group; returns a Future."""
         arr = np.asarray(faces, dtype=np.float32)

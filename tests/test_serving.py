@@ -257,7 +257,36 @@ def test_http_enroll_identify(model):
             assert False, "expected 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # malformed X-Top-K -> 400 (not a 500 server fault)
+        try:
+            post("/identify", x[:1], {"X-Top-K": "two"})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # oversize POST (> max_batch=16) is chunked server-side, not a 500
+        big = np.concatenate([x, x], axis=0)  # 20 faces
+        out = urllib.request.urlopen(urllib.request.Request(
+            base + "/embed", data=np.ascontiguousarray(big, "<f4").tobytes(),
+            method="POST")).read()
+        assert np.frombuffer(out, "<f4").reshape(2, 20, 512).shape == (2, 20, 512)
+
+        exported = srv.gallery()
     svc.close()
+
+    # warm-start a fresh server from the exported gallery: identify works
+    # without re-enrolling
+    assert len(exported.labels) == 10
+    svc2 = EmbeddingService(model, max_batch=16, max_delay_s=0.0)
+    with EmbeddingHTTPServer(svc2, gallery=exported) as srv2:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv2.port}/identify",
+            data=np.ascontiguousarray(x[7:9], "<f4").tobytes(),
+            method="POST")
+        r = json.loads(urllib.request.urlopen(req).read())
+        assert [row[0] for row in r["labels"]] == ["id7", "id8"]
+    svc2.close()
 
 
 @pytest.mark.slow
