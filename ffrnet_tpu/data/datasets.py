@@ -81,6 +81,21 @@ def _load_bgr(path: str) -> np.ndarray:
     return arr[:, :, ::-1]
 
 
+def _load_rgb(path: str) -> np.ndarray:
+    """Decode -> RGB (no channel re-merge) -> bicubic 112x112 if needed.
+
+    The reference's Mask_Data feeds raw RGB — it never applies the BGR
+    split-merge the CASIA/LFW loaders do (data/dataloader_mask_verification
+    .py:63-77 has no convert/re-merge) — so the real-mask protocol runs on
+    RGB inputs there. Kept for faithful replication."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if img.size != IMG_SIZE:
+        img = img.resize(IMG_SIZE, Image.BICUBIC)
+    return np.asarray(img, dtype=np.uint8)
+
+
 def _to_unit(arr_u8: np.ndarray) -> np.ndarray:
     """ToTensor + Normalize([.5]*3, [.5]*3): uint8 -> float32 in [-1, 1]."""
     return (arr_u8.astype(np.float32) / 255.0 - 0.5) / 0.5
@@ -134,17 +149,32 @@ class CasiaPairs:
                 if not line.strip():
                     continue
                 path, label = line.strip().split()
+                if not 0 <= int(label) < self.num_classes:
+                    raise ValueError(
+                        f"label {label} out of range [0, {self.num_classes})"
+                        f" for {path!r} — check --num_classes / the list"
+                        " file")
                 self.items.append((path, int(label)))
         self._native = _native_ready(self.use_native)
+        self._twin_cache: Dict[str, str] = {}
 
     def __len__(self):
         return len(self.items)
 
+    def _twin(self, path: str) -> str:
+        # resolve once per item: the prefix scan over the directory listing
+        # is O(dir size) and identical every epoch
+        twin = self._twin_cache.get(path)
+        if twin is None:
+            twin = find_mask_twin(self.data_root, path)
+            if twin is None:
+                raise FileNotFoundError(f"no masked twin for {path}")
+            self._twin_cache[path] = twin
+        return twin
+
     def get(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         path, label = self.items[idx]
-        twin = find_mask_twin(self.data_root, path)
-        if twin is None:
-            raise FileNotFoundError(f"no masked twin for {path}")
+        twin = self._twin(path)
         flip = rng.random() < self.flip_prob  # paired flip
         p1 = os.path.join(self.data_root, path)
         p2 = os.path.join(self.data_root, twin)
@@ -183,12 +213,23 @@ class LfwPairs:
     def __len__(self):
         return len(self.labels)
 
+    def _masked(self, path: str) -> str:
+        # fail loudly on a missing twin (the reference crashes here too,
+        # data/dataset.py:63-66 joining a None path): silently evaluating
+        # the CLEAN image as "masked" would inflate ocl accuracy
+        twin = find_mask_twin(self.face_root, path)
+        if twin is None:
+            raise FileNotFoundError(
+                f"no masked twin for {path!r} under {self.face_root!r} "
+                f"(ocl={self.test_ocl_num}); generate masks or use ocl=0")
+        return twin
+
     def get(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         path1, path2 = self.pair_names[idx]
         if self.test_ocl_num >= 1:
-            path1 = find_mask_twin(self.face_root, path1) or path1
+            path1 = self._masked(path1)
         if self.test_ocl_num >= 2:
-            path2 = find_mask_twin(self.face_root, path2) or path2
+            path2 = self._masked(path2)
         img1 = _load_bgr(os.path.join(self.face_root, path1))
         img2 = _load_bgr(os.path.join(self.face_root, path2))
         if self.flip_prob and rng.random() < self.flip_prob:
@@ -205,12 +246,19 @@ class LfwPairs:
 @dataclass
 class MaskVerificationPairs:
     """Real-mask verification triples `masked nonmasked label`
-    (data/dataloader_mask_verification.py:16-88)."""
+    (data/dataloader_mask_verification.py:16-88).
+
+    NOTE the reference feeds these images as raw RGB — unlike its CASIA/LFW
+    loaders it never does the BGR channel re-merge, even though the encoder
+    was trained on BGR (data/dataloader_mask_verification.py:63-77). That
+    quirk is replicated by default; `bgr=True` applies the consistent BGR
+    protocol instead (see PARITY.md "Deliberate behavior differences")."""
 
     face_root: str
     img_dir: str = "masked_whn_112_align_v4"
     pair_txt: str = "masked_pairs_new_v4.txt"
     flip_prob: float = 0.5
+    bgr: bool = False  # False = faithful reference RGB behavior
 
     def __post_init__(self):
         self.pair_names: List[Tuple[str, str]] = []
@@ -228,8 +276,9 @@ class MaskVerificationPairs:
 
     def get(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         base = os.path.join(self.face_root, self.img_dir)
-        img1 = _load_bgr(os.path.join(base, self.pair_names[idx][0]))
-        img2 = _load_bgr(os.path.join(base, self.pair_names[idx][1]))
+        load = _load_bgr if self.bgr else _load_rgb
+        img1 = load(os.path.join(base, self.pair_names[idx][0]))
+        img2 = load(os.path.join(base, self.pair_names[idx][1]))
         if self.flip_prob and rng.random() < self.flip_prob:
             img1 = img1[:, ::-1]
             img2 = img2[:, ::-1]

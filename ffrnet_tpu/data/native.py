@@ -80,6 +80,12 @@ def prep_batch(images: Sequence[np.ndarray], out_hw=(112, 112), *,
     n = len(images)
     oh, ow = out_hw
     images = [np.ascontiguousarray(img, dtype=np.uint8) for img in images]
+    for i, img in enumerate(images):
+        # enforce the native contract host-side: prep_one reads h*w*3
+        # bytes, so a grayscale/RGBA array would read past its allocation
+        if img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError(
+                f"images[{i}] must be HWC with 3 channels, got {img.shape}")
     ptrs = (ctypes.c_void_p * n)(
         *[img.ctypes.data_as(ctypes.c_void_p).value for img in images])
     hs = (ctypes.c_int * n)(*[img.shape[0] for img in images])

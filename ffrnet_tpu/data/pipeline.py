@@ -56,6 +56,9 @@ class BatchLoader:
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.sharding = sharding
+        if (process_index is None) != (process_count is None):
+            raise ValueError("pass process_index and process_count together "
+                             "(or neither, to use jax.process_*)")
         if process_index is None and jax is not None:
             try:
                 process_index = jax.process_index()
@@ -64,6 +67,9 @@ class BatchLoader:
                 process_index, process_count = 0, 1
         self.process_index = process_index or 0
         self.process_count = process_count or 1
+        if not 0 <= self.process_index < self.process_count:
+            raise ValueError(f"process_index {self.process_index} out of "
+                             f"range for process_count {self.process_count}")
         if batch_size % self.process_count:
             raise ValueError(
                 f"global batch_size {batch_size} must divide evenly over "

@@ -80,10 +80,11 @@ class ThreadPool {
         tasks_.emplace([&, n] {
           int i;
           while ((i = next.fetch_add(1)) < n) fn(i);
-          {
-            std::lock_guard<std::mutex> g(done_mu);
-            ++done;
-          }
+          // notify while holding the lock: run_batch's stack frame (and
+          // done_cv with it) dies as soon as the waiter sees done==shards,
+          // so an unlocked notify could touch a destroyed cv (UB race)
+          std::lock_guard<std::mutex> g(done_mu);
+          ++done;
           done_cv.notify_one();
         });
       }

@@ -72,6 +72,60 @@ def test_lfw_pairs_ocl_substitution(lfw_tree):
     assert s0["img1"].min() >= -1.0 and s0["img1"].max() <= 1.0
 
 
+def test_lfw_pairs_missing_twin_fails_loudly(lfw_tree, tmp_path):
+    # evaluating the clean image as "masked" would silently inflate ocl
+    # accuracy (the reference crashes on a missing twin too)
+    from PIL import Image
+
+    root = tmp_path / "lfw_nomask"
+    d = root / "Carol_C"
+    d.mkdir(parents=True)
+    arr = np.zeros((112, 112, 3), np.uint8)
+    for i in (1, 2):
+        Image.fromarray(arr).save(d / f"Carol_C_{i:04}.jpg")  # no twins
+    pairs = root / "pairs.txt"
+    pairs.write_text("1\nCarol_C\t1\t2\n")
+    _listdir_cached.cache_clear()
+    rng = np.random.default_rng(0)
+    ds = LfwPairs(str(root), str(pairs), test_ocl_num=1, flip_prob=0.0)
+    with pytest.raises(FileNotFoundError, match="masked twin"):
+        ds.get(0, rng)
+    # ocl0 on the same tree is fine
+    LfwPairs(str(root), str(pairs), test_ocl_num=0, flip_prob=0.0).get(0, rng)
+
+
+def test_mask_verification_rgb_quirk(tmp_path):
+    # the reference's Mask_Data feeds raw RGB (no BGR re-merge,
+    # data/dataloader_mask_verification.py:63-77); bgr=True opts into the
+    # consistent BGR protocol
+    from PIL import Image
+
+    from ffrnet_tpu.data.datasets import MaskVerificationPairs
+
+    root = tmp_path / "maskver"
+    d = root / "masked_whn_112_align_v4"
+    d.mkdir(parents=True)
+    arr = np.zeros((112, 112, 3), np.uint8)
+    arr[..., 0] = 200  # red-dominant so RGB vs BGR differ
+    Image.fromarray(arr).save(d / "a.jpg")
+    Image.fromarray(arr).save(d / "b.jpg")
+    (root / "masked_pairs_new_v4.txt").write_text("a.jpg b.jpg 1\n")
+    rng = np.random.default_rng(0)
+    rgb = MaskVerificationPairs(str(root), flip_prob=0.0).get(0, rng)
+    bgr = MaskVerificationPairs(str(root), flip_prob=0.0, bgr=True).get(0, rng)
+    np.testing.assert_allclose(rgb["img1"], bgr["img1"][..., ::-1], atol=0.02)
+    assert rgb["img1"][0, 0, 0] > rgb["img1"][0, 0, 2]  # R first (RGB)
+    assert bgr["img1"][0, 0, 2] > bgr["img1"][0, 0, 0]  # R last (BGR)
+
+
+def test_batch_loader_rejects_bad_process_args():
+    ds = SyntheticPairs(num_identities=4)
+    with pytest.raises(ValueError, match="together"):
+        BatchLoader(ds, 4, process_index=1)
+    with pytest.raises(ValueError, match="out of range"):
+        BatchLoader(ds, 4, process_index=2, process_count=2)
+
+
 def test_casia_pairs_bgr_and_flip(lfw_tree, tmp_path):
     root, _ = lfw_tree
     _listdir_cached.cache_clear()

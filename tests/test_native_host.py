@@ -58,3 +58,12 @@ def test_decode_prep_batch_roundtrip():
 def test_decode_bad_jpeg_fails_cleanly():
     with pytest.raises(RuntimeError):
         native.decode_prep_batch([b"not a jpeg"], (112, 112))
+
+
+def test_prep_batch_rejects_non_hwc3():
+    # prep_one reads h*w*3 bytes: a grayscale array would read out of
+    # bounds in native code — must be rejected host-side
+    with pytest.raises(ValueError, match="3 channels"):
+        native.prep_batch([np.zeros((112, 112), np.uint8)])
+    with pytest.raises(ValueError, match="3 channels"):
+        native.prep_batch([np.zeros((112, 112, 4), np.uint8)])
