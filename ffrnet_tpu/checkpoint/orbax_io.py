@@ -35,8 +35,14 @@ def load_orbax(ckpt_dir: str, step: Optional[int] = None) -> Any:
     """Restore a TrainState pytree; step=None -> latest orbax_* dir."""
     ocp = _ocp()
     if step is None:
+        import re
+
+        # exact-name filter: Orbax writes atomic saves to sibling temp dirs
+        # ('..orbax-checkpoint-tmp-<ts>' suffixes) that would sort AFTER
+        # the finished name — a crashed save must not shadow the last good
+        # checkpoint
         cands = sorted(d for d in os.listdir(ckpt_dir)
-                       if d.startswith("orbax_"))
+                       if re.fullmatch(r"orbax_\d{9}", d))
         if not cands:
             raise FileNotFoundError(f"no orbax checkpoints in {ckpt_dir}")
         path = os.path.join(ckpt_dir, cands[-1])

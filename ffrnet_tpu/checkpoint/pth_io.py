@@ -46,6 +46,10 @@ try:  # bfloat16 via ml_dtypes when present (ships with jax)
 except ImportError:  # pragma: no cover
     pass
 
+# dtype -> torch storage class name, for the writer (built once, not per
+# tensor)
+_DTYPES_REV = {np.dtype(v): k for k, v in _DTYPES.items()}
+
 
 class _Storage:
     """Placeholder for a torch storage: raw buffer + element dtype."""
@@ -249,8 +253,13 @@ class _Writer(pickle._Pickler):  # pure-Python pickler: `save` is overridable
             self.write(pickle.GLOBAL + f"{obj.module}\n{obj.name}\n".encode())
             return
         if isinstance(obj, _TensorOut):
-            rev = {np.dtype(v): k for k, v in _DTYPES.items()}
-            pid = ("storage", _TorchGlobal("torch", rev[obj.arr.dtype]),
+            storage_name = _DTYPES_REV.get(obj.arr.dtype)
+            if storage_name is None:
+                raise ValueError(
+                    f"cannot write dtype {obj.arr.dtype} (tensor "
+                    f"{obj.key!r}): no torch storage equivalent "
+                    f"(supported: {sorted(str(d) for d in _DTYPES_REV)})")
+            pid = ("storage", _TorchGlobal("torch", storage_name),
                    obj.key, "cpu", int(obj.arr.size))
             self.save_reduce(
                 _TorchGlobal("torch._utils", "_rebuild_tensor_v2"),
@@ -313,9 +322,16 @@ def save_pth(obj: Any, path: str, *, use_torch: bool = True) -> None:
                         return _rebuild_seq(o, [to_torch(v) for v in o])
                     return o
 
-                torch.save(to_torch(obj), fobj)
+                # serialize to a buffer first: if torch rejects a dtype
+                # (TypeError from torch.from_numpy on ml_dtypes bfloat16,
+                # uint32, ...) nothing has hit fobj yet — gzip write
+                # streams can't rewind — and the built-in writer below
+                # handles those dtypes fine
+                tmp = io.BytesIO()
+                torch.save(to_torch(obj), tmp)
+                fobj.write(tmp.getvalue())
                 return
-            except ImportError:  # pragma: no cover
+            except (ImportError, TypeError):  # pragma: no cover
                 pass
         _write_zip(obj, fobj)
 

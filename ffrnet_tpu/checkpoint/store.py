@@ -58,7 +58,11 @@ def resolve_latest(ckpt_dir: str, file_name: str = "latest") -> str:
     """'latest' -> lexicographic max *.pth.gzip (models/trainer.py:202-204);
     plain names get '.pth.gzip' appended; paths with '/' pass through."""
     if file_name == "latest":
-        cands = sorted(x for x in os.listdir(ckpt_dir) if x.endswith("pth.gzip"))
+        # skip dot-files: a crash between save_pth(tmp) and os.replace
+        # leaves '.{name}.tmp.pth.gzip' behind, which must never resolve
+        # as the latest checkpoint (it may be truncated)
+        cands = sorted(x for x in os.listdir(ckpt_dir)
+                       if x.endswith("pth.gzip") and not x.startswith("."))
         if not cands:
             raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
         return os.path.join(ckpt_dir, cands[-1])
@@ -68,7 +72,11 @@ def resolve_latest(ckpt_dir: str, file_name: str = "latest") -> str:
 
 
 def load_checkpoint(ckpt_dir: str, file_name: str = "latest"):
-    """Returns (params, model_state, opt_state_or_None, {'epoch','iter'})."""
+    """Returns (params, model_state, opt_leaves_or_None, {'epoch','iter'}).
+
+    opt_leaves is the FLAT leaf list from the checkpoint — pass it through
+    `restore_opt_state(tx.init(params), opt_leaves)` to rebuild a usable
+    optimizer state; it is not an optax state itself."""
     path = resolve_latest(ckpt_dir, file_name)
     payload = load_pth(path)
     params, model_state = recnet_from_torch(payload["RecNet"])

@@ -20,7 +20,7 @@ The converters are bidirectional so native checkpoints can be exported to
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -196,8 +196,21 @@ def _res_block_back(out: SD, prefix: str, params, state) -> None:
     _conv_layer_back(out, f"{prefix}.conv2", params["conv2"], state["conv2"])
 
 
-def recnet_from_torch(sd: SD, cfg: RecNetConfig = RecNetConfig()):
-    """torch RecNet state_dict -> (params, state) for models/recnet.apply."""
+def recnet_from_torch(sd: SD, cfg: Optional[RecNetConfig] = None):
+    """torch RecNet state_dict -> (params, state) for models/recnet.apply.
+
+    The key schema is the reference's fixed RecNet layout. When a cfg is
+    given it is VALIDATED against the checkpoint: a classifier whose class
+    count disagrees with cfg.num_classes fails here with a clear message
+    rather than deep inside the first jitted step. cfg=None (e.g. resume,
+    where the checkpoint is self-describing) skips the check."""
+    if cfg is not None:
+        cls_w = sd.get("classifier.weight")
+        if cls_w is not None and cfg.num_classes != cls_w.shape[0]:
+            raise ValueError(
+                f"checkpoint classifier has {cls_w.shape[0]} classes but "
+                f"cfg.num_classes={cfg.num_classes} — pass the matching "
+                "RecNetConfig (the reference default is 10575)")
     params: Dict[str, Any] = {}
     state: Dict[str, Any] = {}
 

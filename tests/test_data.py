@@ -275,3 +275,45 @@ def test_kfold_tolerates_non_divisible_n():
     labels = jnp.asarray(rng.integers(0, 2, 5995))
     res = kfold_verification(scores, labels)
     assert np.isfinite(float(res.mean_accuracy))
+
+
+def test_resolve_latest_skips_crashed_tmp_files(tmp_path):
+    # a crash between save_pth(tmp) and os.replace leaves a truncated
+    # '.{name}.tmp.pth.gzip' — it must never resolve as latest (regression)
+    from ffrnet_tpu.checkpoint.pth_io import save_pth
+    from ffrnet_tpu.checkpoint.store import resolve_latest
+
+    (tmp_path / ".latest.tmp.pth.gzip").write_bytes(b"truncated garbage")
+    with pytest.raises(FileNotFoundError, match="no checkpoints"):
+        resolve_latest(str(tmp_path))
+    save_pth({"RecNet": {}}, str(tmp_path / "0000100.pth.gzip"))
+    assert resolve_latest(str(tmp_path)).endswith("0000100.pth.gzip")
+
+
+def test_orbax_latest_skips_tmp_dirs(tmp_path):
+    # Orbax atomic saves use sibling '...-tmp-<ts>' dirs that sort AFTER
+    # the finished name; latest-selection must ignore them (regression)
+    pytest.importorskip("orbax.checkpoint")
+    from ffrnet_tpu.checkpoint.orbax_io import load_orbax, save_orbax
+
+    state = {"w": np.arange(4, dtype=np.float32)}
+    save_orbax(str(tmp_path), 12, state)
+    (tmp_path / "orbax_000000012.orbax-checkpoint-tmp-99").mkdir()
+    back = load_orbax(str(tmp_path))
+    np.testing.assert_array_equal(back["w"], state["w"])
+
+
+def test_recnet_from_torch_validates_num_classes():
+    from ffrnet_tpu.checkpoint.torch_convert import (recnet_from_torch,
+                                                     recnet_to_torch)
+    from ffrnet_tpu.models import recnet
+    from ffrnet_tpu.models.recnet import RecNetConfig
+    import jax
+
+    cfg16 = RecNetConfig(num_classes=16)
+    params, state = recnet.init(jax.random.PRNGKey(0), cfg16)
+    sd = recnet_to_torch(params, state)
+    recnet_from_torch(sd, cfg16)  # matching cfg ok
+    recnet_from_torch(sd)         # no cfg: skip validation (resume path)
+    with pytest.raises(ValueError, match="16 classes"):
+        recnet_from_torch(sd, RecNetConfig(num_classes=10575))

@@ -81,3 +81,26 @@ def test_save_pth_roundtrip(tmp_path, use_torch_writer):
     assert back["epoch"] == 3 and back["iter"] == 1234
     # and through our own reader
     _assert_same(obj, load_pth(str(path)))
+
+
+def test_save_pth_bf16_with_torch_falls_back(tmp_path):
+    # torch.from_numpy rejects ml_dtypes bfloat16; save_pth must fall back
+    # to the built-in writer instead of dying mid-write (regression)
+    import ml_dtypes
+
+    from ffrnet_tpu.checkpoint.pth_io import load_pth, save_pth
+
+    obj = {"w": np.arange(8, dtype=np.float32).astype(ml_dtypes.bfloat16)}
+    path = tmp_path / "bf16.pth.gzip"
+    save_pth(obj, str(path), use_torch=True)
+    back = load_pth(str(path))
+    np.testing.assert_array_equal(
+        back["w"].astype(np.float32), obj["w"].astype(np.float32))
+
+
+def test_save_pth_unsupported_dtype_message(tmp_path):
+    from ffrnet_tpu.checkpoint.pth_io import save_pth
+
+    with np.testing.assert_raises_regex(ValueError, "uint32"):
+        save_pth({"w": np.zeros(4, np.uint32)}, str(tmp_path / "x.pth"),
+                 use_torch=False)
