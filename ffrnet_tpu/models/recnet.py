@@ -140,16 +140,35 @@ def init(key, cfg: RecNetConfig = RecNetConfig(), dtype=jnp.float32):
 def add_margin_logits(w, feat, label, *, s: float, m: float, num_classes: int):
     """CosFace / AddMarginProduct (models/recnet.py:238-270).
 
-    w: (num_classes, feat_dim). Returns (logits, cosine). The margin is
-    subtracted only at the target class; logits are scaled by s.
+    w: (num_classes, feat_dim) — or (padded_classes, feat_dim) with
+    padded_classes > num_classes when the class axis is zero-padded so it
+    shards evenly over a 'model' mesh axis (the reference head is 10575
+    classes, models/recnet.py:248 — odd, so any even tensor-parallel degree
+    needs padding). Padded columns are masked to a large negative in the
+    logits (-> zero softmax mass, zero gradient to the padded rows) and to
+    -2 in the cosines (below any real cosine -> never argmax). Returns
+    (logits, cosine), both (N, w.shape[0]). The margin is subtracted only
+    at the target class; logits are scaled by s.
     """
+    total = w.shape[0]
+    if total > num_classes:
+        valid = jnp.arange(total) < num_classes
+        # Padded rows are all-zero: normalizing them would put a 0/0 NaN in
+        # the backward pass (d||x||/dx at 0) that 0-cotangents do NOT kill,
+        # poisoning feat grads via 0*NaN. Substitute a harmless constant row
+        # — its cosine output is masked below, and jnp.where routes its
+        # gradient away from w, so padded rows stay exactly zero.
+        w = jnp.where(valid[:, None], w, jnp.ones((), w.dtype))
     cosine = jnp.matmul(
         ops.l2_normalize(feat, axis=1),
         ops.l2_normalize(w, axis=1).T,
         preferred_element_type=feat.dtype,
     )
-    one_hot = jax.nn.one_hot(label, num_classes, dtype=cosine.dtype)
+    one_hot = jax.nn.one_hot(label, total, dtype=cosine.dtype)
     logits = s * (cosine - m * one_hot)
+    if total > num_classes:
+        logits = jnp.where(valid, logits, jnp.asarray(-1e5, logits.dtype))
+        cosine = jnp.where(valid, cosine, jnp.asarray(-2.0, cosine.dtype))
     return logits, cosine
 
 

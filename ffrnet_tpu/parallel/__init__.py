@@ -3,4 +3,5 @@ from ffrnet_tpu.parallel.mesh import (
     make_mesh,
     recnet_param_shardings,
     replicated,
+    validate_batch_for_mesh,
 )

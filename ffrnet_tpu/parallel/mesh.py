@@ -7,7 +7,10 @@ The reference's only parallelism is single-host DataParallel over GPUs
   * batches shard over 'data' (pure DP; gradient psum inserted by XLA)
   * the one genuinely large weight — the CosFace classifier
     (num_classes=10575 x 512, models/recnet.py:248) — shards its class axis
-    over 'model' (tensor parallelism for the widest matmul + its logits)
+    over 'model' (tensor parallelism for the widest matmul + its logits);
+    10575 is odd, so the class axis is zero-padded to the next multiple of
+    the 'model' size at placement (trainer.pad_train_state_classes) and the
+    padded columns are softmax-masked (models/recnet.py::add_margin_logits)
   * everything else (a few MB of conv weights on 7x7 maps) replicates.
 
 With model=1 this degrades to plain DP; the same jitted step runs on any
@@ -32,6 +35,18 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
         n_data = len(devices) // n_model
     devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(devs, ("data", "model"))
+
+
+def validate_batch_for_mesh(mesh: Mesh, batch_size: int,
+                            flag: str = "--batch_size") -> None:
+    """Fail fast with an actionable message instead of an XLA sharding
+    traceback when the global batch does not divide the 'data' mesh axis."""
+    n_data = mesh.shape["data"]
+    if batch_size % n_data != 0:
+        raise ValueError(
+            f"{flag} {batch_size} is not divisible by the data-parallel mesh "
+            f"size {n_data}; pick a multiple of {n_data} or change --mesh_data"
+        )
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

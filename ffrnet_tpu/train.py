@@ -29,9 +29,11 @@ from ffrnet_tpu.data.datasets import CasiaPairs, LfwPairs, SyntheticPairs
 from ffrnet_tpu.data.pipeline import BatchLoader
 from ffrnet_tpu.eval.runner import evaluate_pairs, make_pair_score_fn
 from ffrnet_tpu.models import irse
-from ffrnet_tpu.parallel.mesh import batch_sharding, make_mesh
+from ffrnet_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                      validate_batch_for_mesh)
 from ffrnet_tpu.training.trainer import (
-    TrainState, create_train_state, make_distributed_step)
+    TrainState, create_train_state, make_distributed_step,
+    unpad_train_state_classes)
 from ffrnet_tpu.utils.logger import Logger
 from ffrnet_tpu.utils.timer import Timer
 
@@ -190,9 +192,18 @@ def train(opts: Options) -> None:
         state = TrainState(params, model_state, state.opt_state, state.step)
 
     mesh = make_mesh(n_data=opts.mesh_data or None, n_model=opts.mesh_model)
+    validate_batch_for_mesh(mesh, opts.batch_size)
     step, (enc_params, enc_state, state) = make_distributed_step(
         mesh, cfg, enc_params, enc_state, state)
     bshard = batch_sharding(mesh)
+
+    def save_now(name: str, epoch: int, iteration: int) -> None:
+        # slice TP class padding off before writing: checkpoints keep the
+        # torch-compatible (num_classes, 512) classifier (models/recnet.py:248)
+        ck = unpad_train_state_classes(state, cfg.recnet.num_classes)
+        save_checkpoint(opts.ckpt_dir, name, params=ck.params,
+                        model_state=ck.model_state, opt_state=ck.opt_state,
+                        epoch=epoch, iteration=iteration)
     loader = BatchLoader(dataset, opts.batch_size, shuffle=not opts.debug,
                          drop_last=not opts.debug, seed=opts.seed,
                          num_threads=opts.n_thread,
@@ -236,21 +247,12 @@ def train(opts: Options) -> None:
 
             if cur_iters % opts.save_freq == 0:
                 name = "debug" if opts.debug else f"{cur_iters:07d}"
-                save_checkpoint(opts.ckpt_dir, name, params=state.params,
-                                model_state=state.model_state,
-                                opt_state=state.opt_state,
-                                epoch=epoch, iteration=cur_iters)
+                save_now(name, epoch, cur_iters)
             if cur_iters % max(opts.save_freq // 10, 1) == 0:
-                save_checkpoint(opts.ckpt_dir, "latest", params=state.params,
-                                model_state=state.model_state,
-                                opt_state=state.opt_state,
-                                epoch=epoch, iteration=cur_iters)
+                save_now("latest", epoch, cur_iters)
 
             if guard.requested:
-                save_checkpoint(opts.ckpt_dir, "latest", params=state.params,
-                                model_state=state.model_state,
-                                opt_state=state.opt_state,
-                                epoch=epoch, iteration=cur_iters)
+                save_now("latest", epoch, cur_iters)
                 print(f"[preempt] checkpointed at iter {cur_iters} "
                       f"(epoch {epoch}); resume with --continue_train 1 "
                       "--which_file latest", file=sys.stderr, flush=True)

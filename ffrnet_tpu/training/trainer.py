@@ -191,6 +191,62 @@ def train_step(encoder_params, encoder_state, state: TrainState, batch,
     return train_step_from_features(state, feats, cfg=cfg)
 
 
+def padded_num_classes(num_classes: int, n_model: int) -> int:
+    """Smallest multiple of n_model >= num_classes (10575 classes,
+    models/recnet.py:248, is odd — every even TP degree needs padding)."""
+    return -(-num_classes // n_model) * n_model
+
+
+def _pad_rows(x, rows: int):
+    return jnp.pad(x, ((0, rows - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+
+def pad_train_state_classes(state: TrainState, rows: int) -> TrainState:
+    """Zero-pad the classifier class axis (and the optimizer moments that
+    mirror its shape) to `rows`, so the axis divides a 'model' mesh axis.
+
+    Padded rows are inert: add_margin_logits masks their logits out of the
+    softmax, so they receive zero gradient and stay zero. No-op when the
+    classifier already has `rows` rows.
+    """
+    cls = state.params["classifier"]["w"]
+    if cls.shape[0] == rows:
+        return state
+    if cls.shape[0] > rows:
+        raise ValueError(f"classifier has {cls.shape[0]} rows > target {rows}")
+    cls_shape = tuple(cls.shape)
+
+    def leaf(x):
+        if hasattr(x, "shape") and tuple(x.shape) == cls_shape:
+            return _pad_rows(x, rows)
+        return x
+
+    params = dict(state.params)
+    params["classifier"] = {"w": _pad_rows(cls, rows)}
+    return TrainState(params, state.model_state,
+                      jax.tree.map(leaf, state.opt_state), state.step)
+
+
+def unpad_train_state_classes(state: TrainState, num_classes: int) -> TrainState:
+    """Inverse of pad_train_state_classes: slice the classifier (and its
+    moments) back to the logical class count — use before checkpointing a
+    TP-padded state so checkpoints stay torch-shape-compatible."""
+    cls = state.params["classifier"]["w"]
+    if cls.shape[0] == num_classes:
+        return state
+    cls_shape = tuple(cls.shape)
+
+    def leaf(x):
+        if hasattr(x, "shape") and tuple(x.shape) == cls_shape:
+            return x[:num_classes]
+        return x
+
+    params = dict(state.params)
+    params["classifier"] = {"w": cls[:num_classes]}
+    return TrainState(params, state.model_state,
+                      jax.tree.map(leaf, state.opt_state), state.step)
+
+
 def _opt_state_shardings(mesh, opt_state, cls_shape):
     """Replicate optimizer state except moments matching the classifier
     weight shape, which shard over 'model' like the weight itself."""
@@ -223,7 +279,17 @@ def make_distributed_step(mesh, cfg: TrainerConfig, encoder_params,
     Returns (jitted_step, (enc_params, enc_state, state) placed with their
     shardings). Call as step(enc_p, enc_s, state, batch) with the batch
     already sharded over 'data' (see ffrnet_tpu.parallel.batch_sharding).
+
+    When the class count does not divide the 'model' mesh axis (the
+    production head is 10575 classes, models/recnet.py:248), the classifier
+    and its optimizer moments are zero-padded to the next multiple before
+    placement; the padded columns are softmax-masked inside the step
+    (add_margin_logits) so numerics match the unpadded model. Slice
+    checkpoints back with unpad_train_state_classes.
     """
+    state = pad_train_state_classes(
+        state, padded_num_classes(state.params["classifier"]["w"].shape[0],
+                                  mesh.shape["model"]))
     rep = replicated(mesh)
     state_shard = _train_state_shardings(mesh, state)
     p_shard = state_shard.params
@@ -263,8 +329,12 @@ def make_distributed_feature_step(mesh, cfg: TrainerConfig,
     With the encoder frozen, its features can be computed once and streamed
     in like data; the per-step program is then RecNet-only. Returns
     (jitted_step, placed_state); call as step(state, feats) with every
-    FEATURE_KEYS entry sharded over 'data'.
+    FEATURE_KEYS entry sharded over 'data'. Classifier class-axis padding
+    as in make_distributed_step.
     """
+    state = pad_train_state_classes(
+        state, padded_num_classes(state.params["classifier"]["w"].shape[0],
+                                  mesh.shape["model"]))
     rep = replicated(mesh)
     state_shard = _train_state_shardings(mesh, state)
     bs = batch_sharding(mesh)

@@ -429,3 +429,135 @@ def test_remat_step_matches_plain():
                                    float(m2["TotalLoss"]), rtol=1e-6)
         jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
                      s1.params, s2.params)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel class-axis padding (VERDICT r1 #1: 10575 is odd)
+# ---------------------------------------------------------------------------
+
+def test_add_margin_logits_padded_matches_unpadded():
+    """Zero-padding the CosFace weight rows + softmax masking must leave
+    CE loss, valid-column logits, and argmax accuracy unchanged
+    (models/recnet.py:238-270 at the odd production class count)."""
+    from ffrnet_tpu.models.recnet import add_margin_logits
+
+    rng = np.random.default_rng(0)
+    n_cls, pad_to = 13, 16
+    w = jnp.asarray(rng.standard_normal((n_cls, 512)).astype(np.float32))
+    w_pad = jnp.concatenate([w, jnp.zeros((pad_to - n_cls, 512))], axis=0)
+    feat = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32))
+    label = jnp.asarray([0, 5, 12, 3])
+
+    logits, cosine = add_margin_logits(w, feat, label, s=30.0, m=0.40,
+                                       num_classes=n_cls)
+    logits_p, cosine_p = add_margin_logits(w_pad, feat, label, s=30.0, m=0.40,
+                                           num_classes=n_cls)
+    assert logits_p.shape == (4, pad_to)
+    np.testing.assert_allclose(np.asarray(logits_p[:, :n_cls]),
+                               np.asarray(logits), atol=1e-6)
+    # padded logits carry no softmax mass -> identical CE
+    np.testing.assert_allclose(
+        float(losses.cross_entropy(logits_p, label)),
+        float(losses.cross_entropy(logits, label)), rtol=1e-6)
+    # padded cosines can never win the argmax (train accuracy)
+    assert (np.asarray(jnp.argmax(cosine_p, axis=1))
+            == np.asarray(jnp.argmax(cosine, axis=1))).all()
+    # gradient never reaches the padded rows -> they stay zero
+    g = jax.grad(lambda ww: losses.cross_entropy(
+        add_margin_logits(ww, feat, label, s=30.0, m=0.40,
+                          num_classes=n_cls)[0], label))(w_pad)
+    assert float(jnp.abs(g[n_cls:]).max()) == 0.0
+    assert float(jnp.abs(g[:n_cls]).max()) > 0.0
+
+
+def test_pad_unpad_train_state_roundtrip():
+    from ffrnet_tpu.training.trainer import (padded_num_classes,
+                                             pad_train_state_classes,
+                                             unpad_train_state_classes)
+
+    assert padded_num_classes(10575, 2) == 10576
+    assert padded_num_classes(10575, 4) == 10576
+    assert padded_num_classes(10575, 8) == 10576
+    assert padded_num_classes(10576, 8) == 10576
+    assert padded_num_classes(10575, 3) == 10575
+
+    cfg = TrainerConfig(optimizer="adabound", lr=1e-3,
+                        recnet=RecNetConfig(num_classes=13))
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    padded = pad_train_state_classes(state, 16)
+    assert padded.params["classifier"]["w"].shape == (16, 512)
+    # adabound moments that mirror the weight shape get padded too
+    padded_moment_shapes = {
+        tuple(x.shape) for x in jax.tree.leaves(padded.opt_state)
+        if hasattr(x, "shape") and x.ndim == 2 and x.shape[1] == 512}
+    assert (16, 512) in padded_moment_shapes
+    assert (13, 512) not in padded_moment_shapes
+    back = unpad_train_state_classes(padded, 13)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        (back.params, back.opt_state), (state.params, state.opt_state))
+    # no-op when already at size
+    assert pad_train_state_classes(state, 13) is state
+    assert unpad_train_state_classes(state, 13) is state
+
+
+@pytest.mark.slow
+def test_distributed_tp_odd_classes_matches_single_device():
+    """An odd class count on an even 'model' mesh axis (pad 13 -> 14):
+    the padded+masked distributed step must reproduce the single-device
+    unpadded step's loss and parameter update."""
+    import functools
+
+    from ffrnet_tpu.parallel.mesh import batch_sharding, make_mesh
+    from ffrnet_tpu.training.trainer import unpad_train_state_classes
+
+    import dataclasses
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=4, n_model=2)
+    enc_p, enc_s, cfg, state, batch = _tiny_setup(num_classes=13, batch=8)
+    # sgd: the update is linear in the gradient, so reduction-order noise
+    # stays small (adam's m/sqrt(v) flips sign on ~zero grads -> 2*lr jumps)
+    cfg = dataclasses.replace(cfg, optimizer="sgd", momentum=0.0)
+    state = create_train_state(jax.random.PRNGKey(1), cfg)
+
+    ref_state, ref_metrics = jax.jit(functools.partial(
+        train_step, cfg=cfg))(enc_p, enc_s, state, batch)
+
+    step, (enc_pd, enc_sd, placed) = make_distributed_step(
+        mesh, cfg, enc_p, enc_s, state)
+    assert placed.params["classifier"]["w"].shape == (14, 512)
+    batch_d = jax.device_put(batch, batch_sharding(mesh))
+    new_state, metrics = step(enc_pd, enc_sd, placed, batch_d)
+
+    np.testing.assert_allclose(float(metrics["TotalLoss"]),
+                               float(ref_metrics["TotalLoss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["TrainAcc"]),
+                               float(ref_metrics["TrainAcc"]), atol=1e-6)
+    got = unpad_train_state_classes(new_state, 13)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-5),
+        got.params, ref_state.params)
+
+
+@pytest.mark.slow
+def test_distributed_tp_production_class_count():
+    """VERDICT r1 repro: a 4x2 mesh with the PRODUCTION 10575-class head
+    (models/recnet.py:248) must place and step — previously crashed in
+    device_put ('dimension 0 should be divisible by 2')."""
+    from ffrnet_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=4, n_model=2)
+    enc_p, enc_s, cfg, state, batch = _tiny_setup(num_classes=10575, batch=8)
+    step, (enc_p, enc_s, state) = make_distributed_step(
+        mesh, cfg, enc_p, enc_s, state)
+    assert state.params["classifier"]["w"].shape == (10576, 512)
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    state, metrics = step(enc_p, enc_s, state, batch)
+    assert np.isfinite(float(metrics["TotalLoss"]))
+    assert int(jax.device_get(state.step)) == 1
