@@ -33,6 +33,11 @@ def main(argv=None):
                    help="jax.checkpoint ONLY the channel-attention branch "
                         "(RecNetConfig.remat_channel): drops the (N,512,512) "
                         "M_channel intermediates from the stored residuals")
+    p.add_argument("--ss_loss_impl", type=str, default="factored",
+                   choices=["factored", "materialized"],
+                   help="channel self-similarity loss path: Gram-free trace "
+                        "identity vs literal (N,512,512) Grams "
+                        "(losses.gram_mse_factored)")
     p.add_argument("--features", type=int, default=0,
                    help="feature-cached mode: run encode_frozen once, then "
                         "time RecNet-only steps (train_step_from_features) "
@@ -50,6 +55,7 @@ def main(argv=None):
 
     cfg = TrainerConfig(optimizer=args.optimizer, lr=1e-3,
                         compute_dtype=args.dtype, remat=bool(args.remat),
+                        ss_loss_impl=args.ss_loss_impl,
                         recnet=RecNetConfig(
                             num_classes=args.num_classes,
                             remat_channel=bool(args.remat_channel)))
@@ -104,6 +110,7 @@ def main(argv=None):
         "dtype": args.dtype,
         "remat": bool(args.remat),
         "remat_channel": bool(args.remat_channel),
+        "ss_loss_impl": args.ss_loss_impl,
         "features": bool(args.features),
         "step_ms": round(1e3 * dt / args.iters, 2),
     }))

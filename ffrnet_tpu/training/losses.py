@@ -41,6 +41,36 @@ def cross_entropy(logits, labels):
     return jnp.mean(logz - true_logit)
 
 
+def gram_mse_factored(a, b, *, eps: float = 1e-12):
+    """MSE between the cosine Grams of a and b WITHOUT materializing them.
+
+    a, b: (N, R, D) row sets. With row-normalized A_hat, B_hat, trace
+    cyclicity gives the exact identity
+
+        ||A_hat A_hatT - B_hat B_hatT||^2_F
+          = ||A_hatT A_hat||^2_F - 2 ||A_hatT B_hat||^2_F
+            + ||B_hatT B_hat||^2_F
+
+    i.e. three (D, D) inner products instead of (N, R, R) Grams. For the
+    channel self-similarity loss (R=512 channels, D=49 positions,
+    models/trainer.py:157-161) this is O(N*D^2*R) vs O(N*R^2*D) and — the
+    real win — removes the (N, 512, 512) tensors from the autograd tape.
+    Equal to mse(gram(a), gram(b)) up to float reassociation. Computed in
+    fp32 (loss-reduction convention).
+    """
+    a = l2_normalize(a.astype(jnp.float32), axis=2, eps=eps)
+    b = l2_normalize(b.astype(jnp.float32), axis=2, eps=eps)
+    n, r, _ = a.shape
+    aa = jnp.einsum("nrd,nre->nde", a, a)
+    ab = jnp.einsum("nrd,nre->nde", a, b)
+    bb = jnp.einsum("nrd,nre->nde", b, b)
+
+    def sq(x):
+        return jnp.sum(jnp.square(x))
+
+    return (sq(aa) - 2.0 * sq(ab) + sq(bb)) / (n * r * r)
+
+
 def triplet_cosine(anchor, pos, neg, *, margin: float = 0.1):
     """Reference TripletLoss (models/trainer.py:31-43).
 
@@ -78,18 +108,43 @@ def ffrnet_objective(
     loss_weight: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
     faithful_ce_weight: bool = True,
     ss_impl: str = "xla",
+    ss_loss_impl: str = "factored",
 ) -> LossBreakdown:
-    """Assemble the weighted objective from the two-branch forward outputs."""
+    """Assemble the weighted objective from the two-branch forward outputs.
+
+    ss_loss_impl: 'factored' computes the CHANNEL self-similarity MSEs via
+    the Gram-free trace identity (gram_mse_factored) — exact up to float
+    reassociation, and it deletes the three (N, 512, 512) Grams from the
+    training tape (the dominant non-encoder activation memory,
+    BASELINE.md). 'materialized' is the literal reference dataflow
+    (models/trainer.py:157-161); it is also used when ss_impl='pallas'
+    supplies fused Grams anyway. The spatial Grams are (N, 49, 49) — tiny —
+    and stay materialized in both modes (the identity would cost (512,512)
+    inner products there, a pessimization).
+    """
     w = [jnp.asarray(x, jnp.float32) for x in loss_weight]
 
     # (0) self-similarity rectification loss
+    factored = ss_loss_impl == "factored" and ss_impl != "pallas"
     ss_space, ss_channel = self_similarity(featmap_non, impl=ss_impl)
     ss_space_non, _ = self_similarity(out_non.feat_space, impl=ss_impl)
     ss_space_ocl, _ = self_similarity(out_ocl.feat_space, impl=ss_impl)
-    _, ss_channel_non = self_similarity(out_non.feat_channel, impl=ss_impl)
-    _, ss_channel_ocl = self_similarity(out_ocl.feat_channel, impl=ss_impl)
     ss_space_loss = (mse(ss_space, ss_space_non) + mse(ss_space, ss_space_ocl)) / 2
-    ss_channel_loss = (mse(ss_channel, ss_channel_non) + mse(ss_channel, ss_channel_ocl)) / 2
+    if factored:
+        # (the unused ss_channel Gram above is dead code XLA eliminates)
+        def chan(x):  # NHWC -> (N, C, HW) channel rows
+            n, hh, ww, c = x.shape
+            return x.reshape(n, hh * ww, c).transpose(0, 2, 1)
+
+        cf = chan(featmap_non)
+        ss_channel_loss = (
+            gram_mse_factored(cf, chan(out_non.feat_channel))
+            + gram_mse_factored(cf, chan(out_ocl.feat_channel))) / 2
+    else:
+        _, ss_channel_non = self_similarity(out_non.feat_channel, impl=ss_impl)
+        _, ss_channel_ocl = self_similarity(out_ocl.feat_channel, impl=ss_impl)
+        ss_channel_loss = (mse(ss_channel, ss_channel_non)
+                           + mse(ss_channel, ss_channel_ocl)) / 2
     item0 = (ss_space_loss + ss_channel_loss) / 2
 
     # (1) triplet

@@ -46,6 +46,10 @@ class TrainerConfig:
     lr_gamma: float = 0.5
     clip_value: float = 1.0
     faithful_ce_weight: bool = True
+    ss_loss_impl: str = "factored"  # 'factored' = Gram-free channel
+    # self-similarity loss (losses.gram_mse_factored: exact trace-identity
+    # rewrite, no (N,512,512) tape residuals); 'materialized' = literal
+    # reference dataflow (models/trainer.py:157-161)
     compute_dtype: str = "fp32"  # 'bf16' = mixed precision: bf16 fwd/bwd,
     # fp32 master params / optimizer / loss reductions / BN statistics
     remat: bool = False  # jax.checkpoint the RecNet branches: recompute
@@ -154,7 +158,8 @@ def train_step_from_features(state: TrainState, feats, *, cfg: TrainerConfig):
             featmap_non=featmap_non, embed_non=embed_non, embed_ocl=embed_ocl,
             out_non=out_non, out_ocl=out_ocl, labels=labels,
             loss_weight=cfg.loss_weight,
-            faithful_ce_weight=cfg.faithful_ce_weight, ss_impl=rc.ss_impl)
+            faithful_ce_weight=cfg.faithful_ce_weight, ss_impl=rc.ss_impl,
+            ss_loss_impl=cfg.ss_loss_impl)
         return lb.total, (lb, st2)
 
     (_, (lb, new_model_state)), grads = jax.value_and_grad(

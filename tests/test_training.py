@@ -188,6 +188,129 @@ def test_ce_weight_cancel_quirk():
                                                        rel=1e-5)
 
 
+
+def test_gram_mse_factored_matches_materialized():
+    """gram_mse_factored == mse(gram(a), gram(b)) (trace identity), values
+    and gradients, on the real channel-loss shape (C=512 rows, D=49)."""
+    from ffrnet_tpu.ops.similarity import cosine_sim
+
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.standard_normal((3, 512, 49)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((3, 512, 49)).astype(np.float32))
+
+    def materialized(x, y):
+        return losses.mse(cosine_sim(x, x), cosine_sim(y, y))
+
+    exp = float(materialized(a, b))
+    got = float(losses.gram_mse_factored(a, b))
+    assert got == pytest.approx(exp, rel=1e-5, abs=1e-6)
+    # identical gradients (the tape the identity removes must not change them)
+    ga = jax.grad(lambda x: losses.gram_mse_factored(x, b))(a)
+    ge = jax.grad(lambda x: materialized(x, b))(a)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ge), atol=1e-6)
+    # near-identical inputs: the expanded form cancels three ~1e3-scale
+    # sums, so RELATIVE error grows as the true value -> 0 — but the
+    # ABSOLUTE error must stay ~fp32-roundoff (1e-8 here), 5+ orders below
+    # any training-regime ss-loss value (O(0.01..1)); that bound is what
+    # makes 'factored' numerically safe as a default
+    b2 = a + 1e-3
+    exp2 = float(materialized(a, b2))
+    got2 = float(losses.gram_mse_factored(a, b2))
+    assert exp2 < 1e-6  # this IS the degenerate near-zero regime
+    assert got2 == pytest.approx(exp2, abs=1e-7)
+
+
+def test_ss_item_matches_reference_both_impls(reference):
+    """Golden: the self-similarity loss item vs the reference's OWN code
+    (selfSimilarity + nn.MSELoss, models/trainer.py:157-166), for both
+    ss_loss_impl settings."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from models.recnet import selfSimilarity
+
+    from ffrnet_tpu.models.recnet import RecNetTrainOut
+
+    mse_t = torch.nn.MSELoss()
+    rng = np.random.default_rng(6)
+    n = 3
+
+    def nchw(seed):
+        r = np.random.default_rng(seed)
+        return r.standard_normal((n, 512, 7, 7)).astype(np.float32)
+
+    fm, sp_non, sp_ocl, ch_non, ch_ocl = (nchw(s) for s in range(20, 25))
+    with torch.no_grad():
+        t_space, t_channel = selfSimilarity(torch.from_numpy(fm))
+        t_space_non, _ = selfSimilarity(torch.from_numpy(sp_non))
+        t_space_ocl, _ = selfSimilarity(torch.from_numpy(sp_ocl))
+        _, t_channel_non = selfSimilarity(torch.from_numpy(ch_non))
+        _, t_channel_ocl = selfSimilarity(torch.from_numpy(ch_ocl))
+        sp_loss = (mse_t(t_space, t_space_non) + mse_t(t_space, t_space_ocl)) / 2
+        ch_loss = (mse_t(t_channel, t_channel_non)
+                   + mse_t(t_channel, t_channel_ocl)) / 2
+        expected = float((sp_loss + ch_loss) / 2)
+
+    def to_nhwc(x):
+        return jnp.asarray(x.transpose(0, 2, 3, 1))
+
+    emb = jnp.zeros((n, 512))
+    logits = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+
+    def fake_out(space, channel):
+        return RecNetTrainOut(
+            feat_new_v=emb + 1.0, logits=logits, cosine=logits,
+            m_space=jnp.zeros((n, 49, 49)), m_channel=jnp.zeros((n, 1, 1)),
+            feat_space=to_nhwc(space), feat_channel=to_nhwc(channel))
+
+    kw = dict(featmap_non=to_nhwc(fm), embed_non=emb + 1.0, embed_ocl=emb + 2.0,
+              out_non=fake_out(sp_non, ch_non),
+              out_ocl=fake_out(sp_ocl, ch_ocl),
+              labels=jnp.asarray(rng.integers(0, 8, n)))
+    for impl in ("materialized", "factored"):
+        lb = losses.ffrnet_objective(loss_weight=(1, 0, 0, 0),
+                                     ss_loss_impl=impl, **kw)
+        assert float(lb.self_similarity) == pytest.approx(
+            expected, rel=1e-4, abs=1e-5), impl
+
+
+def test_train_step_ss_loss_impls_equivalent():
+    """Full train step with ss_loss_impl factored vs materialized: same
+    loss, same update (sgd: update linear in grad)."""
+    import dataclasses
+    import functools
+
+    from ffrnet_tpu.training.trainer import train_step_from_features
+
+    rng = np.random.default_rng(0)
+
+    def arr(*shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+    e1, e2 = np.asarray(arr(2, 512)), np.asarray(arr(2, 512))
+    feats = {
+        "featmap_non": arr(2, 7, 7, 512), "featmap_ocl": arr(2, 7, 7, 512),
+        "embed_non": jnp.asarray(e1 / np.linalg.norm(e1, axis=1, keepdims=True)),
+        "embed_ocl": jnp.asarray(e2 / np.linalg.norm(e2, axis=1, keepdims=True)),
+        "label": jnp.asarray([0, 1]),
+    }
+    cfg_m = TrainerConfig(optimizer="sgd", lr=1e-2, momentum=0.0,
+                          ss_loss_impl="materialized",
+                          recnet=RecNetConfig(num_classes=8))
+    cfg_f = dataclasses.replace(cfg_m, ss_loss_impl="factored")
+    state = create_train_state(jax.random.PRNGKey(1), cfg_m)
+    s_m, m_m = jax.jit(functools.partial(
+        train_step_from_features, cfg=cfg_m))(state, feats)
+    s_f, m_f = jax.jit(functools.partial(
+        train_step_from_features, cfg=cfg_f))(state, feats)
+    np.testing.assert_allclose(float(m_f["TotalLoss"]),
+                               float(m_m["TotalLoss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m_f["SelfSimilarityLoss"]),
+                               float(m_m["SelfSimilarityLoss"]), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), s_f.params, s_m.params)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end train step
 # ---------------------------------------------------------------------------
