@@ -26,11 +26,25 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 N_PAIRS = 6000
 N_FOLDS = 10
 THRESHOLD_START = -1.0
 THRESHOLD_STEP = 0.005
 N_THRESHOLDS = 400
+
+# The reference sweeps float64 np.arange(-1, 1, 0.005) thresholds against
+# float32-valued scores with strict > (lfw/lfw_eval.py:142,155). An f32
+# grid naively rounds each threshold to NEAREST, which can flip the
+# comparison for scores within 1 ulp of a grid point. Rounding each f64
+# threshold DOWN to f32 instead makes the f32 comparison exact: for any
+# f32 score s and t32 = largest f32 <= t64, (s > t64) <=> (s > t32),
+# because no f32 value lies in (t32, t64].
+_T64 = np.arange(THRESHOLD_START, 1.0, THRESHOLD_STEP)
+_T32 = _T64.astype(np.float32)
+_T32 = np.where(_T32.astype(np.float64) > _T64,
+                np.nextafter(_T32, np.float32(-np.inf)), _T32)
 
 
 def pair_cosine(f1, f2, *, eps: float = 1e-8):
@@ -65,8 +79,8 @@ def kfold_verification(scores, labels, *, n_folds: int = N_FOLDS) -> FoldResult:
     scores = scores[:n_used]
     labels = labels[:n_used]
     n = n_used
-    thresholds = THRESHOLD_START + THRESHOLD_STEP * jnp.arange(
-        N_THRESHOLDS, dtype=scores.dtype)
+    thresholds = (jnp.asarray(_T64) if scores.dtype == jnp.float64
+                  else jnp.asarray(_T32, scores.dtype))
 
     # predicted-same iff score > threshold (strict >, lfw/lfw_eval.py:142)
     pred = scores[None, :] > thresholds[:, None]  # (T, N)

@@ -50,20 +50,30 @@ def evaluate_pairs(enc_params, enc_state, rec_params, rec_state,
     — rectified first, mirroring get_avg_accuracy (lfw/lfw_eval.py:285-287).
     With return_scores=True also returns (scores_new, scores_raw, labels)
     as host arrays (feeds misclassified-pair dumps).
+
+    Per-batch scores STAY ON DEVICE through the loop — batch dispatches run
+    ahead asynchronously and the fold sweep consumes the concatenated
+    device arrays, so the whole eval pays exactly ONE host synchronization
+    at the end (through a relayed TPU each sync costs an RTT; the reference
+    round-trips every batch, lfw/lfw_eval.py:226-252).
     """
     score = score_fn or make_pair_score_fn(cfg)
-    raw_scores, new_scores, labels = [], [], []
+    raw_chunks, new_chunks, labels = [], [], []
     for batch in batches:
         s_raw, s_new = score(enc_params, enc_state, rec_params, rec_state,
                              batch["img1"], batch["img2"])
-        raw_scores.append(np.asarray(s_raw))
-        new_scores.append(np.asarray(s_new))
+        raw_chunks.append(s_raw)
+        new_chunks.append(s_new)
         labels.append(np.asarray(batch["label"]))
-    scores_raw = np.concatenate(raw_scores)
-    scores_new = np.concatenate(new_scores)
+    scores_raw_d = jnp.concatenate(raw_chunks)
+    scores_new_d = jnp.concatenate(new_chunks)
     lab = np.concatenate(labels)
-    results = (kfold_verification(jnp.asarray(scores_new), jnp.asarray(lab)),
-               kfold_verification(jnp.asarray(scores_raw), jnp.asarray(lab)))
+    lab_d = jnp.asarray(lab)
+    res_new, res_raw, scores_new, scores_raw = jax.device_get((
+        kfold_verification(scores_new_d, lab_d),
+        kfold_verification(scores_raw_d, lab_d),
+        scores_new_d, scores_raw_d))  # <- the single host sync
+    results = (res_new, res_raw)
     if return_scores:
         return results + (scores_new, scores_raw, lab)
     return results

@@ -19,6 +19,10 @@ _STUB_MODULES = (
     "torchvision",
     "torchvision.transforms",
     "torchvision.transforms.functional",
+    # lfw/lfw_eval.py imports skimage.transform at module scope but only
+    # uses it inside the dead LFWData class (SURVEY.md §2.2)
+    "skimage",
+    "skimage.transform",
 )
 
 

@@ -1,14 +1,93 @@
-"""Verification-protocol tests: vectorized sweep vs a literal numpy mirror
-of the reference algorithm (lfw/lfw_eval.py:110-287)."""
+"""Verification-protocol tests: the vectorized device sweep vs the
+reference's OWN KFold / find_best_threshold / eval_acc functions
+(lfw/lfw_eval.py:110-162) — the reference code itself is the golden, so a
+misread of the protocol cannot be baked into both sides (VERDICT r1 #4).
+A numpy mirror remains only as a fast large-n sanity check."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ffrnet_tpu.eval.lfw import kfold_verification, pair_cosine
 
 
+@pytest.fixture(scope="module")
+def ref_eval():
+    """The reference's own eval-protocol module (plain numpy/python —
+    importable here; torch is present for the parity fixtures anyway)."""
+    from ffrnet_tpu.utils.reference_compat import install_reference_stubs
+
+    if not install_reference_stubs():
+        pytest.skip("reference checkout not available")
+    pytest.importorskip("torch")
+    import lfw.lfw_eval as le
+
+    return le
+
+
+def _reference_avg_accuracy(le, scores, labels):
+    """Drive the reference's actual functions exactly as get_avg_accuracy
+    does (lfw/lfw_eval.py:272-287): KFold -> find_best_threshold on the
+    train split -> eval_acc on the test split, rows = [dist, label, idx]."""
+    predicts = np.array(
+        [[float(s), int(l), i] for i, (s, l) in enumerate(zip(scores, labels))])
+    thresholds = np.arange(-1.0, 1.0, 0.005)
+    accs, best_ts = [], []
+    for train, test in le.KFold(len(scores), 10):
+        best_t = le.find_best_threshold(thresholds, predicts[train])
+        accs.append(le.eval_acc(best_t, predicts[test], save_wrong=0))
+        best_ts.append(best_t)
+    return float(np.mean(accs)), np.array(best_ts), np.array(accs)
+
+
+def test_kfold_matches_reference_code(ref_eval):
+    """Golden vs the reference's own protocol functions on a realistic
+    bimodal score distribution (600 pairs: the pure-python eval_acc visits
+    every row per threshold, so full 6000 would be ~10 min; fold geometry
+    i*n//n_folds is identical at any n)."""
+    rng = np.random.default_rng(7)
+    n = 600
+    labels = rng.integers(0, 2, n)
+    scores = np.where(labels == 1, rng.normal(0.55, 0.2, n),
+                      rng.normal(0.05, 0.2, n)).astype(np.float32).clip(-1, 1)
+    ref_mean, ref_ts, ref_accs = _reference_avg_accuracy(ref_eval, scores, labels)
+    res = kfold_verification(jnp.asarray(scores), jnp.asarray(labels))
+    np.testing.assert_allclose(np.asarray(res.fold_accuracies), ref_accs,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(res.mean_accuracy), ref_mean, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.best_thresholds), ref_ts,
+                               atol=1e-6)
+
+
+def test_kfold_matches_reference_code_tie_cases(ref_eval):
+    """Tie-break edges against the reference's own code: scores drawn FROM
+    the threshold grid force exact score==threshold comparisons (eval_acc
+    uses strict >) and many-way accuracy ties (find_best_threshold keeps
+    the LAST tied threshold via >=)."""
+    rng = np.random.default_rng(11)
+    n = 600
+    grid = np.arange(-1.0, 1.0, 0.005)
+    cases = [
+        (grid[rng.integers(0, len(grid), n)].astype(np.float32),
+         rng.integers(0, 2, n)),                     # scores on the grid
+        (np.zeros(n, np.float32), np.zeros(n, np.int64)),   # all-tied sweep
+        (np.full(n, 0.25, np.float32), rng.integers(0, 2, n)),  # constant
+    ]
+    for scores, labels in cases:
+        ref_mean, ref_ts, ref_accs = _reference_avg_accuracy(
+            ref_eval, scores, labels)
+        res = kfold_verification(jnp.asarray(scores), jnp.asarray(labels))
+        np.testing.assert_allclose(np.asarray(res.best_thresholds), ref_ts,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.fold_accuracies), ref_accs,
+                                   atol=1e-6)
+        np.testing.assert_allclose(float(res.mean_accuracy), ref_mean,
+                                   atol=1e-6)
+
+
 def _reference_protocol(scores, labels, n_folds=10):
-    """Line-by-line numpy mirror of KFold + find_best_threshold + eval_acc."""
+    """Numpy mirror of the protocol — kept ONLY as a fast sanity check at
+    the full n=6000 (the golden is the reference's own code above)."""
     n = len(scores)
     thresholds = np.arange(-1.0, 1.0, 0.005)
     base = list(range(n))
