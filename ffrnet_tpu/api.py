@@ -162,6 +162,11 @@ class FFRNet:
 
         from ffrnet_tpu.eval.lfw import pair_cosine
 
+        n = np.shape(img1)[0]
+        if n != np.shape(img2)[0]:
+            raise ValueError(
+                f"verify() needs the same number of images on each side, "
+                f"got {n} vs {np.shape(img2)[0]}")
         if isinstance(img1, jax.Array) or isinstance(img2, jax.Array):
             both = jnp.concatenate([jnp.asarray(img1), jnp.asarray(img2)],
                                    axis=0)
@@ -169,7 +174,6 @@ class FFRNet:
             # happens inside _embed at the compute dtype
             both = np.concatenate([np.asarray(img1), np.asarray(img2)],
                                   axis=0)
-        n = both.shape[0] // 2
         raw, rect, _ = self._embed(both)
         emb = rect if rectified else raw
         return pair_cosine(emb[:n], emb[n:])

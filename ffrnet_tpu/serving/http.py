@@ -15,13 +15,24 @@ Endpoints:
   POST /verify    body = float32 LE bytes of (2*N, 112, 112, 3) — first N =
                   img1, last N = img2 -> float32 LE bytes of (N,) cosine
                   scores (rectified embeddings)
-  POST /enroll    1:N gallery enrollment. Header X-Labels: comma-separated
-                  N labels; body = N faces as above -> JSON {"enrolled": N,
+  POST /enroll    1:N gallery enrollment. Labels via ONE of:
+                    X-Labels:      comma-separated N labels — labels must
+                                   not contain ',' and must be Latin-1
+                                   (HTTP header charset); or
+                    X-Labels-Json: JSON array of N strings, ASCII-encoded
+                                   (json.dumps default ensure_ascii \\u
+                                   escapes make any unicode label
+                                   header-safe)
+                  body = N faces as above -> JSON {"enrolled": N,
                   "gallery_size": G}
   POST /identify  Header X-Top-K (default 1); body = P faces -> JSON
                   {"labels": [[...k per probe]], "scores": [[...]]}
   GET  /healthz   -> 200 "ok" once the service is up
   GET  /stats     -> 200 JSON ServiceStats snapshot
+
+All POST bodies are capped at `max_request_faces` faces (default 4096,
+~616 MB; constructor arg): larger Content-Lengths get 413 BEFORE the body
+is read, so one client cannot exhaust host memory on a public bind.
 
 The reference repo has no network surface at all; this is deployment-side
 infrastructure on top of the rebuilt models (lfw/lfw_eval.py is its closest
@@ -65,8 +76,9 @@ class EmbeddingHTTPServer:
     .port after start)."""
 
     def __init__(self, service, addr: Tuple[str, int] = ("127.0.0.1", 0),
-                 gallery=None):
+                 gallery=None, max_request_faces: int = 4096):
         self._service = service
+        self._max_request_faces = int(max_request_faces)
         # 1:N gallery state for /enroll + /identify (embeddings stacked on
         # device, labels host-side); guarded — enrolls can race identifies
         self._gallery_lock = threading.Lock()
@@ -107,6 +119,17 @@ class EmbeddingHTTPServer:
 
             def _read_faces(self) -> Optional[np.ndarray]:
                 n_bytes = int(self.headers.get("Content-Length", 0))
+                limit = outer._max_request_faces * _FACE_BYTES
+                if n_bytes > limit:
+                    # refuse BEFORE reading: draining a multi-GB body would
+                    # be the memory exhaustion this cap exists to prevent
+                    self.close_connection = True
+                    self._reply(
+                        413,
+                        f"body exceeds max_request_faces="
+                        f"{outer._max_request_faces} faces "
+                        f"({limit} bytes)".encode(), "text/plain")
+                    return None
                 if n_bytes <= 0 or n_bytes % _FACE_BYTES:
                     # drain the declared body first: leaving it unread would
                     # desync the next request on a keep-alive connection
@@ -154,17 +177,34 @@ class EmbeddingHTTPServer:
                             return
                         _, rect = self._embed_chunked(faces)
                         a, b = rect[: n // 2], rect[n // 2:]
-                        a = a / np.linalg.norm(a, axis=1, keepdims=True)
-                        b = b / np.linalg.norm(b, axis=1, keepdims=True)
-                        scores = np.sum(a * b, axis=1)
+                        # same epsilon semantics as the in-process scorer
+                        # (eval.lfw.pair_cosine): a zero-norm embedding
+                        # yields 0.0, never NaN
+                        scores = np.sum(a * b, axis=1) / (
+                            np.linalg.norm(a, axis=1)
+                            * np.linalg.norm(b, axis=1) + 1e-8)
                         self._reply(200, scores.astype("<f4").tobytes())
                     elif self.path == "/enroll":
-                        labels = [s for s in
-                                  self.headers.get("X-Labels", "").split(",")
-                                  if s]
+                        labels_json = self.headers.get("X-Labels-Json")
+                        if labels_json is not None:
+                            try:
+                                labels = json.loads(labels_json)
+                                assert isinstance(labels, list) and all(
+                                    isinstance(s, str) for s in labels)
+                            except (ValueError, AssertionError):
+                                self._reply(
+                                    400, b"X-Labels-Json must be a JSON "
+                                    b"array of strings", "text/plain")
+                                return
+                        else:
+                            labels = [s for s in
+                                      self.headers.get("X-Labels",
+                                                       "").split(",")
+                                      if s]
                         if len(labels) != faces.shape[0]:
-                            self._reply(400, b"X-Labels count != face count",
-                                        "text/plain")
+                            self._reply(
+                                400, b"label count != face count (labels "
+                                b"with ',' need X-Labels-Json)", "text/plain")
                             return
                         _, rect = self._embed_chunked(faces)
                         g = outer._enroll(rect, labels)

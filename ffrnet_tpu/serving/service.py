@@ -113,8 +113,13 @@ class EmbeddingService:
         return self._max_batch
 
     def submit(self, faces) -> Future:
-        """Enqueue one face or one (k, H, W, 3) group; returns a Future."""
-        arr = np.asarray(faces, dtype=np.float32)
+        """Enqueue one face or one (k, H, W, 3) group; returns a Future.
+
+        The input is COPIED: np.asarray would alias an already-float32
+        contiguous caller buffer, and a caller mutating/reusing it before
+        the collector dispatches would corrupt the whole co-batched group.
+        """
+        arr = np.array(faces, dtype=np.float32, copy=True)
         if arr.ndim == 3:
             arr = arr[None]
         h, w = self._input_hw

@@ -309,3 +309,66 @@ def test_service_drains_queue_on_close(model):
     for i, f in enumerate(futs):
         raw, _ = f.result(timeout=60)
         assert raw.shape == (1, 512)
+
+
+def test_http_hardening_and_submit_copy(model):
+    """Round-1 advisor findings: request-size cap (413 before reading),
+    X-Labels-Json for comma/unicode labels, X-Labels mismatch messaging,
+    api.verify length validation, submit() buffer-copy semantics."""
+    import urllib.error
+    import urllib.request
+
+    from ffrnet_tpu.serving import EmbeddingHTTPServer
+
+    x = _faces(4, seed=41)
+
+    # api.verify: mismatched sides must raise, not mis-pair silently
+    with pytest.raises(ValueError, match="same number"):
+        model.verify(x[:1], x[1:4])
+
+    svc = EmbeddingService(model, max_batch=8, max_delay_s=0.0)
+
+    # submit(): mutating the caller's buffer after submit must not corrupt
+    # the batched result (the service copies on ingestion)
+    buf = x.copy()
+    expected = np.asarray(model.embed(buf)[1], np.float32)
+    fut = svc.submit(buf)
+    buf[:] = 0.0
+    got = np.asarray(fut.result()[1], np.float32)
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=2e-5)
+
+    with EmbeddingHTTPServer(svc, max_request_faces=2) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def post(path, data, headers=None):
+            return urllib.request.urlopen(urllib.request.Request(
+                base + path, data=data, method="POST",
+                headers=headers or {}))
+
+        body3 = np.ascontiguousarray(x[:3], "<f4").tobytes()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/embed", body3)
+        assert ei.value.code == 413
+
+        # enroll with labels a comma protocol cannot carry
+        labels = ["smith, jane", "unicode ü"]
+        body2 = np.ascontiguousarray(x[:2], "<f4").tobytes()
+        r = json.loads(post("/enroll", body2, {
+            "X-Labels-Json": json.dumps(labels)}).read())
+        assert r["enrolled"] == 2
+        out = json.loads(post("/identify", np.ascontiguousarray(
+            x[:1], "<f4").tobytes()).read())
+        assert out["labels"][0][0] == "smith, jane"
+
+        # comma-split mismatch stays a loud 400 pointing at X-Labels-Json
+        body1 = np.ascontiguousarray(x[:1], "<f4").tobytes()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/enroll", body1, {"X-Labels": "smith, jane"})
+        assert ei.value.code == 400
+        assert b"X-Labels-Json" in ei.value.read()
+
+        # malformed X-Labels-Json -> 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/enroll", body2, {"X-Labels-Json": "{notalist}"})
+        assert ei.value.code == 400
+    svc.close()
