@@ -33,6 +33,31 @@ except ImportError:  # pragma: no cover
     jax = None
 
 
+class SliceDataset:
+    """A contiguous [start, stop) view of a dataset (same .get protocol).
+
+    Used by the multi-host eval path: the verification folds are contiguous
+    index ranges, so each process owns a contiguous block
+    (eval.runner.process_pair_slice) rather than the strided shard the
+    training loader uses.
+    """
+
+    def __init__(self, dataset, sl: slice):
+        start, stop, step = sl.indices(len(dataset))
+        if step != 1:
+            raise ValueError("SliceDataset needs a contiguous slice")
+        self.dataset = dataset
+        self.start, self.stop = start, stop
+
+    def __len__(self):
+        return self.stop - self.start
+
+    def get(self, idx, rng):
+        if not 0 <= idx < len(self):
+            raise IndexError(idx)
+        return self.dataset.get(self.start + idx, rng)
+
+
 class BatchLoader:
     def __init__(
         self,

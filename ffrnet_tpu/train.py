@@ -117,9 +117,18 @@ def make_eval_batches(opts: Options, ocl_num: int, batch_size: int):
     # flip (data/dataset.py:148-151) is opt-in via --faithful_eval_flip 1.
     ds = LfwPairs(opts.test_data, opts.test_pair_list, test_ocl_num=ocl_num,
                   flip_prob=0.5 if opts.faithful_eval_flip else 0.0)
+    n_pairs = len(ds)
+    if jax.process_count() > 1:
+        # contiguous per-process slice; the multiprocess runner all-gathers
+        # scores back into protocol order (eval.runner)
+        from ffrnet_tpu.data.pipeline import SliceDataset
+        from ffrnet_tpu.eval.runner import process_pair_slice
+
+        ds = SliceDataset(ds, process_pair_slice(n_pairs))
     loader = BatchLoader(ds, batch_size, shuffle=False, drop_last=False,
-                         seed=opts.seed, num_threads=opts.n_thread)
-    return loader.epoch(0)
+                         seed=opts.seed, num_threads=opts.n_thread,
+                         process_index=0, process_count=1)
+    return loader.epoch(0), n_pairs
 
 
 def eval_lfw(opts: Options, enc, rec, ocl_num: int, cfg, score_fn=None,
@@ -130,19 +139,30 @@ def eval_lfw(opts: Options, enc, rec, ocl_num: int, cfg, score_fn=None,
     <dump_wrong_to>/wrong_images{,_new}_ocl{n}/ — the reference's
     save_wrong_imgs hook (lfw/lfw_eval.py:120-135) wired end-to-end.
     """
-    batches = make_eval_batches(opts, ocl_num, opts.batch_size)
-    if dump_wrong_to is None:
-        res_new, res_raw = evaluate_pairs(enc[0], enc[1], rec[0], rec[1],
-                                          batches, cfg=cfg.recnet,
-                                          score_fn=score_fn)
+    batches, n_pairs = make_eval_batches(opts, ocl_num, opts.batch_size)
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        from ffrnet_tpu.eval.runner import evaluate_pairs_multiprocess
+
+        def run(return_scores):
+            return evaluate_pairs_multiprocess(
+                enc[0], enc[1], rec[0], rec[1], batches, n_pairs=n_pairs,
+                cfg=cfg.recnet, score_fn=score_fn,
+                return_scores=return_scores)
+    else:
+        def run(return_scores):
+            return evaluate_pairs(enc[0], enc[1], rec[0], rec[1], batches,
+                                  cfg=cfg.recnet, score_fn=score_fn,
+                                  return_scores=return_scores)
+
+    if dump_wrong_to is None or (multiproc and jax.process_index() != 0):
+        res_new, res_raw = run(False)[:2]
         return float(res_new.mean_accuracy), float(res_raw.mean_accuracy)
 
     from ffrnet_tpu.eval.lfw import misclassified_indices
     from ffrnet_tpu.eval.runner import save_wrong_images
 
-    res_new, res_raw, s_new, s_raw, labels = evaluate_pairs(
-        enc[0], enc[1], rec[0], rec[1], batches, cfg=cfg.recnet,
-        score_fn=score_fn, return_scores=True)
+    res_new, res_raw, s_new, s_raw, labels = run(True)
     dump_ds = LfwPairs(opts.test_data, opts.test_pair_list,
                        test_ocl_num=ocl_num, flip_prob=0.0)
     for scores, res, sub in ((s_new, res_new, "wrong_images_new"),

@@ -112,7 +112,8 @@ def test_eval_batches_deterministic_by_default(lfw_tree):
                        seed=seed, n_thread=2,
                        faithful_eval_flip=faithful).finalize(make_dirs=False)
         return np.concatenate(
-            [np.asarray(b["img1"]) for b in make_eval_batches(opts, 0, 20)])
+            [np.asarray(b["img1"])
+             for b in make_eval_batches(opts, 0, 20)[0]])
 
     np.testing.assert_array_equal(first_epoch(1), first_epoch(2))
     # faithful mode restores the reference's seed-dependent flips

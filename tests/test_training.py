@@ -466,14 +466,9 @@ def test_objective_converges_on_synthetic_identities(tmp_path):
     assert curve[-1]["total"] < curve[0]["total"] / 2
 
 
-@pytest.mark.slow
-def test_two_process_distributed_train_step():
-    """Multi-process for real (not simulated process_index): 2 CPU
-    processes x 4 devices run jax.distributed.initialize, per-process
-    loader shards, make_array_from_process_local_data assembly, and the
-    pjit dp x tp train step; both must take equal steps and compute
-    identical (replicated) losses. Capability surpassed: the reference's
-    single-process DataParallel (models/trainer.py:70-72)."""
+def _run_two_process_workers(mode):
+    """Spawn 2 real processes x 4 CPU devices running distributed_worker.py
+    under jax.distributed.initialize; returns the sorted RESULT lines."""
     import os
     import socket
     import subprocess
@@ -491,7 +486,7 @@ def test_two_process_distributed_train_step():
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
     procs = [subprocess.Popen(
-        [sys.executable, script, str(i), "2", str(port)],
+        [sys.executable, script, str(i), "2", str(port), mode],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
         for i in range(2)]
     outs = []
@@ -508,11 +503,37 @@ def test_two_process_distributed_train_step():
     results = sorted(line for out in outs for line in out.splitlines()
                      if line.startswith("RESULT"))
     assert len(results) == 2, outs
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step():
+    """Multi-process for real (not simulated process_index): 2 CPU
+    processes x 4 devices run jax.distributed.initialize, per-process
+    loader shards, make_array_from_process_local_data assembly, and the
+    pjit dp x tp train step; both must take equal steps and compute
+    identical (replicated) losses. Capability surpassed: the reference's
+    single-process DataParallel (models/trainer.py:70-72)."""
+    results = _run_two_process_workers("train")
     # strip the per-process id; steps and losses must match exactly
     tail0 = results[0].split(" ", 2)[2]
     tail1 = results[1].split(" ", 2)[2]
     assert tail0 == tail1, results
     assert "steps=2" in tail0
+
+
+@pytest.mark.slow
+def test_two_process_distributed_eval():
+    """Multi-process EVAL path (VERDICT r1 #6): contiguous per-process pair
+    slices + cross-process score all-gather must reproduce the
+    single-process protocol exactly on every host (the worker asserts
+    equality against evaluate_pairs internally; here we assert both hosts
+    agree and the single-process match was reported)."""
+    results = _run_two_process_workers("eval")
+    tail0 = results[0].split(" ", 2)[2]
+    tail1 = results[1].split(" ", 2)[2]
+    assert tail0 == tail1, results
+    assert "single_process=match" in tail0
 
 
 def test_remat_step_matches_plain():
