@@ -115,12 +115,16 @@ def _pallas_section(dtype):
     from ffrnet_tpu.tools.pallas_probe import probe_pallas
     from ffrnet_tpu.tools.timing import time_op as _time_op
 
-    # 120s x 2 attempts: a stale relay session (earlier TPU process that
-    # died uncleanly) was observed to delay session acquisition ~90-240s
-    # before recovering; a true pallas relay hang still reports cleanly
+    # three-phase probe (tools/pallas_probe.py): a plain-XLA warm child
+    # first absorbs any stale-session acquisition delay (~90-240s) so a
+    # pallas-child timeout is a TRUE pallas hang, and a sweep child clears
+    # the stale session a killed pallas child leaves behind before this
+    # process acquires the chip
     res = probe_pallas(
         timeout_s=float(os.environ.get("FFRNET_PALLAS_PROBE_TIMEOUT", "120")))
-    section = {"verdict": res["verdict"]}
+    section = {"verdict": res["verdict"],
+               "probe": {k: res[k] for k in ("warm_s", "attempts", "sweep",
+                                             "seconds") if k in res}}
     if not res["available"]:
         section["kernels"] = "skipped (probe: %s)" % res["verdict"]
         return section

@@ -82,13 +82,18 @@ def test_encoder_se_pallas_path():
 
 
 def test_pallas_probe_plumbing(monkeypatch, tmp_path):
-    """probe_pallas subprocess plumbing: ok / error / timeout verdicts
-    (the real on-TPU probe runs in bench.py; see BASELINE.md)."""
+    """probe_pallas subprocess plumbing across the three phases (warm /
+    pallas / sweep): ok, error, pallas-timeout, warm-timeout, and
+    stale-session retry verdicts (the real on-TPU probe runs in bench.py;
+    see BASELINE.md)."""
     from ffrnet_tpu.tools import pallas_probe as pp
 
+    monkeypatch.setattr(pp, "_WARM_SRC", "print('RELAY_WARM_OK 2048.0 cpu')")
     monkeypatch.setattr(pp, "_PROBE_SRC", "print('PALLAS_PROBE_OK 2048.0 cpu')")
     res = pp.probe_pallas(timeout_s=30, force=True)
-    assert res == {"available": True, "verdict": "ok", "platform": "cpu"}
+    assert (res["available"], res["verdict"], res["platform"]) == (
+        True, "ok", "cpu")
+    assert res["attempts"] == 1 and res["warm_s"] >= 0
     # cached
     assert pp.probe_pallas()["available"] is True
 
@@ -96,12 +101,24 @@ def test_pallas_probe_plumbing(monkeypatch, tmp_path):
     res = pp.probe_pallas(timeout_s=30, force=True)
     assert res["available"] is False and res["verdict"].startswith("error")
 
+    # pallas hangs while plain XLA works -> the documented relay-block
+    # verdict, plus a sweep to clear the killed child's stale session
     monkeypatch.setattr(pp, "_PROBE_SRC", "import time; time.sleep(30)")
-    res = pp.probe_pallas(timeout_s=1.5, force=True)
+    res = pp.probe_pallas(timeout_s=1.5, force=True, attempts=2,
+                          reap_pause_s=0.0)
     assert res["verdict"] == "relay-blocked-timeout"
+    assert res["attempts"] == 2 and res["sweep"] == "ok"
 
-    # stale-session recovery: first attempt hangs (and is killed by the
-    # timeout), the automatic retry succeeds
+    # even plain XLA cannot run -> relay (not pallas) is unavailable; the
+    # pallas child is never spawned
+    monkeypatch.setattr(pp, "_WARM_SRC", "import time; time.sleep(30)")
+    res = pp.probe_pallas(timeout_s=30, force=True, warm_timeout_s=1.5)
+    assert res["verdict"] == "relay-unavailable-timeout"
+    assert res["attempts"] == 0
+
+    # stale-session recovery: first pallas attempt hangs (and is killed by
+    # the timeout), the automatic retry succeeds
+    monkeypatch.setattr(pp, "_WARM_SRC", "print('RELAY_WARM_OK 2048.0 cpu')")
     flag = tmp_path / "session_flag"
     monkeypatch.setattr(pp, "_PROBE_SRC", (
         "import os, time\n"
@@ -111,8 +128,9 @@ def test_pallas_probe_plumbing(monkeypatch, tmp_path):
         "print('PALLAS_PROBE_OK 2048.0 cpu')\n"))
     # timeout must exceed interpreter startup (~3s: sitecustomize preimports
     # jax) or the child is killed before it can create the flag
-    res = pp.probe_pallas(timeout_s=15, force=True)
-    assert res == {"available": True, "verdict": "ok", "platform": "cpu"}
+    res = pp.probe_pallas(timeout_s=15, force=True, reap_pause_s=0.0)
+    assert (res["available"], res["verdict"]) == (True, "ok")
+    assert res["attempts"] == 2
     pp._cached.clear()  # don't leak the fake verdict to other tests
 
 
