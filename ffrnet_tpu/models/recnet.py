@@ -174,9 +174,17 @@ def add_margin_logits(w, feat, label, *, s: float, m: float, num_classes: int):
 
 def arc_margin_logits(w, feat, label, *, s: float = 30.0, m: float = 0.50,
                       easy_margin: bool = False, num_classes: int = 10575):
-    """ArcFace / ArcMarginProduct parity head (models/recnet.py:279-321)."""
+    """ArcFace / ArcMarginProduct parity head (models/recnet.py:279-321).
+
+    Accepts a class-axis-padded weight like add_margin_logits (same
+    pad+mask contract for tensor-parallel sharding of odd class counts).
+    """
     import math
 
+    total = w.shape[0]
+    if total > num_classes:
+        valid = jnp.arange(total) < num_classes
+        w = jnp.where(valid[:, None], w, jnp.ones((), w.dtype))
     cosine = jnp.matmul(
         ops.l2_normalize(feat, axis=1),
         ops.l2_normalize(w, axis=1).T,
@@ -189,8 +197,11 @@ def arc_margin_logits(w, feat, label, *, s: float = 30.0, m: float = 0.50,
     else:
         phi = jnp.where(cosine > math.cos(math.pi - m), phi,
                         cosine - math.sin(math.pi - m) * m)
-    one_hot = jax.nn.one_hot(label, num_classes, dtype=cosine.dtype)
+    one_hot = jax.nn.one_hot(label, total, dtype=cosine.dtype)
     logits = s * (one_hot * phi + (1.0 - one_hot) * cosine)
+    if total > num_classes:
+        logits = jnp.where(valid, logits, jnp.asarray(-1e5, logits.dtype))
+        cosine = jnp.where(valid, cosine, jnp.asarray(-2.0, cosine.dtype))
     return logits, cosine
 
 

@@ -267,10 +267,11 @@ def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 1792,
     return out.reshape(n, out_h, out_w, c).astype(imgs.dtype)
 
 
-@partial(jax.jit, static_argnames=("out_hw", "tile", "crop"))
+@partial(jax.jit, static_argnames=("out_hw", "tile", "crop", "serial"))
 def warp_affine_tiled(imgs, mats, *, out_hw: Tuple[int, int],
                       tile: Tuple[int, int] = (56, 16),
-                      crop: Tuple[int, int] = (128, 128)):
+                      crop: Tuple[int, int] = (128, 128),
+                      serial: bool = True):
     """2-D tiled MXU warp: crops BOTH source axes per output tile.
 
     Processes the output in (tile_h, tile_w) tiles; each tile dynamically
@@ -278,6 +279,15 @@ def warp_affine_tiled(imgs, mats, *, out_hw: Tuple[int, int],
     coords) and runs the same matmul + fused-reduce bilinear scheme as
     warp_affine_mxu inside the window — halving both the contraction and
     the x-interp intermediates vs row-only cropping.
+
+    serial=True runs tiles sequentially (lax.map: bounds the live
+    intermediate footprint to one tile). serial=False stacks every tile's
+    window and runs ONE batched einsum over (N, n_tiles): more live memory
+    (windows + wy + t for all tiles at once) but no sequential dispatch —
+    with many small tiles this trades HBM footprint for wall-clock; the
+    wy-weight HBM traffic scales with crop_h either way, so small tiles +
+    batched is the bandwidth-optimal XLA configuration (see
+    tools/bench_warp.py for the measured sweep).
 
     CORRECTNESS BOUND: each tile's source extent must fit `crop`; for a
     tile of (th, tw) that is |inv11|*(th-1) + |inv10|*(tw-1) + 3 source
@@ -362,8 +372,46 @@ def warp_affine_tiled(imgs, mats, *, out_hw: Tuple[int, int],
         return jnp.sum(wx.astype(imgs.dtype)[..., None] * t, axis=2,
                        dtype=jnp.float32)  # (N, tp, c)
 
-    out = jax.lax.map(one_tile, src.transpose(1, 0, 2, 3))  # (ntiles, N, tp, c)
-    out = out.transpose(1, 0, 2, 3).reshape(n, nty, ntx, th, tw, c)
+    if serial:
+        # (ntiles, N, tp, c) -> (N, ntiles, tp, c)
+        out = jax.lax.map(one_tile, src.transpose(1, 0, 2, 3))
+        out = out.transpose(1, 0, 2, 3)
+    else:
+        sxa, sya = src[..., 0], src[..., 1]  # (N, T, tp)
+        n_tiles = src.shape[1]
+        if crop_h >= hp:
+            sy_start = jnp.zeros((n, n_tiles), jnp.int32)
+        else:
+            sy_start = jnp.clip(
+                jnp.floor(jnp.min(sya, axis=2)).astype(jnp.int32) - 1,
+                0, hp - crop_h)
+        if crop_w >= wp:
+            sx_start = jnp.zeros((n, n_tiles), jnp.int32)
+        else:
+            sx_start = jnp.clip(
+                jnp.floor(jnp.min(sxa, axis=2)).astype(jnp.int32) - 1,
+                0, wp - crop_w)
+        window = jax.vmap(lambda img, y0s, x0s: jax.vmap(
+            lambda y0, x0: jax.lax.dynamic_slice(
+                img, (y0, x0, 0), (crop_h, crop_w, c)))(y0s, x0s))(
+            imgs_p, sy_start, sx_start)  # (N, T, crop_h, crop_w, c)
+        win_flat = window.reshape(n, n_tiles, crop_h, crop_w * c)
+        y_rel = jnp.arange(crop_h, dtype=jnp.float32)
+        wy = jax.nn.relu(1.0 - jnp.abs(
+            y_rel[None, None, None, :]
+            + sy_start[..., None, None].astype(jnp.float32)
+            - sya[..., None]))  # (N, T, tp, crop_h)
+        t = jnp.einsum("ntpy,ntyf->ntpf", wy.astype(imgs.dtype), win_flat,
+                       preferred_element_type=jnp.float32)
+        t = t.astype(imgs.dtype).reshape(n, n_tiles, tp, crop_w, c)
+        x_rel = jnp.arange(crop_w, dtype=jnp.float32)
+        wx = jax.nn.relu(1.0 - jnp.abs(
+            x_rel[None, None, None, :]
+            + sx_start[..., None, None].astype(jnp.float32)
+            - sxa[..., None]))  # (N, T, tp, crop_w)
+        out = jnp.sum(wx.astype(imgs.dtype)[..., None] * t, axis=3,
+                      dtype=jnp.float32)  # (N, T, tp, c)
+    out = out.reshape(n, nty, ntx, th, tw, c)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, oh, ow, c)
     return out[:, :out_h, :out_w].astype(imgs.dtype)
 

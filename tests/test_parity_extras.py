@@ -149,3 +149,54 @@ def test_warp_mxu_matches_gather():
     a = np.asarray(warp_affine(imgs, mats, out_hw=(112, 96)))
     b = np.asarray(warp_affine_mxu(imgs, mats, out_hw=(112, 96)))
     np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-4)
+
+
+def test_arc_margin_matches_reference(reference, monkeypatch):
+    """Golden for arc_margin_logits vs the reference's OWN ArcMarginProduct
+    (models/recnet.py:279-321), both easy_margin settings. The reference
+    forward hardcodes device='cuda' for its one-hot (models/recnet.py:314);
+    torch.zeros is patched to drop the device kwarg so the reference's own
+    code runs on CPU — the math is untouched."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from models.recnet import ArcMarginProduct
+
+    from ffrnet_tpu.models.recnet import arc_margin_logits
+
+    orig_zeros = torch.zeros
+
+    def cpu_zeros(*a, **k):
+        k.pop("device", None)
+        return orig_zeros(*a, **k)
+
+    monkeypatch.setattr(torch, "zeros", cpu_zeros)
+
+    rng = np.random.default_rng(0)
+    feat = rng.standard_normal((6, 512)).astype(np.float32)
+    label = rng.integers(0, 16, 6)
+    for easy in (False, True):
+        torch.manual_seed(3)
+        ref = ArcMarginProduct(512, 16, s=30.0, m=0.50, easy_margin=easy)
+        with torch.no_grad():
+            exp_logits, exp_cos = ref(torch.from_numpy(feat),
+                                      torch.from_numpy(label))
+        w = jnp.asarray(ref.weight.detach().numpy())
+        logits, cosine = arc_margin_logits(
+            w, jnp.asarray(feat), jnp.asarray(label), s=30.0, m=0.50,
+            easy_margin=easy, num_classes=16)
+        np.testing.assert_allclose(np.asarray(logits), exp_logits.numpy(),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(cosine), exp_cos.numpy(),
+                                   atol=1e-6)
+        # class-axis padding contract (tensor-parallel sharding of odd
+        # class counts): identical valid logits, masked padding
+        w_pad = jnp.concatenate([w, jnp.zeros((4, 512))], axis=0)
+        logits_p, cosine_p = arc_margin_logits(
+            w_pad, jnp.asarray(feat), jnp.asarray(label), s=30.0, m=0.50,
+            easy_margin=easy, num_classes=16)
+        np.testing.assert_allclose(np.asarray(logits_p[:, :16]),
+                                   np.asarray(logits), atol=5e-6)
+        assert float(jnp.max(logits_p[:, 16:])) == -1e5
+        assert (np.asarray(jnp.argmax(cosine_p, 1))
+                == np.asarray(jnp.argmax(cosine, 1))).all()
