@@ -74,6 +74,8 @@ def main(argv=None):
             continue
         for serial in (True, False):
             tag = f"tiled{tile}x{crop}{'_serial' if serial else '_batched'}"
+            print(f"[bench_warp] {tag} compiling...", file=sys.stderr,
+                  flush=True)
             try:
                 ms = time_op(lambda r, t=tile, c=crop, s=serial:
                              warp_affine_tiled(r, mats, out_hw=(112, 112),
