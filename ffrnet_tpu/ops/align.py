@@ -488,20 +488,88 @@ def _similarity_inv_abs_np(src_pts, dst_pts):
     return np.maximum(sc1, sc2), np.maximum(ss1, ss2)
 
 
-_CROP_W_CHOICES = (48, 64, 80, 96, 128, 160, 192, 256)
+def _selected_inv_abs_np(src_pts, dst_pts, *, tie_rel: float = 1e-6):
+    """(|sc|, |ss|) of the dst->src linear map of the fit findSimilarity
+    actually SELECTS — the residual comparison mirrored host-side in
+    float64 (lfw/matlab_cp2tform.py:425-430 picks the lower-residual of
+    the direct and Y-reflected fits). Tighter than the max-over-both bound
+    of _similarity_inv_abs_np: for near-upright faces the reflected fit's
+    larger |ss| inflates the column-band crop bound by a whole bucket.
+    Where the two residuals are within tie_rel (the device pick could
+    diverge at float-noise level) the max over both is used — conservative
+    only in exact ties.
+    """
+    src = np.asarray(src_pts, np.float64)
+    dst = np.asarray(dst_pts, np.float64)
+
+    def fit(uv, xy):
+        x, y = xy[..., 0], xy[..., 1]
+        u, v = uv[..., 0], uv[..., 1]
+        k = x.shape[-1]
+        sxx = (x * x + y * y).sum(-1)
+        sx, sy = x.sum(-1), y.sum(-1)
+        zero, kk = np.zeros_like(sx), np.full_like(sx, float(k))
+        xtx = np.stack([
+            np.stack([sxx, zero, sx, sy], axis=-1),
+            np.stack([zero, sxx, sy, -sx], axis=-1),
+            np.stack([sx, sy, kk, zero], axis=-1),
+            np.stack([sy, -sx, zero, kk], axis=-1),
+        ], axis=-2)
+        xtu = np.stack([(x * u + y * v).sum(-1), (y * u - x * v).sum(-1),
+                        u.sum(-1), v.sum(-1)], axis=-1)
+        return np.linalg.solve(xtx, xtu[..., None])[..., 0]
+
+    def residual(r, reflected):
+        """||src->dst fit applied to src - dst|| (numpy twin of the device
+        norm comparison in similarity_transform)."""
+        sc, ss, tx, ty = (r[..., i] for i in range(4))
+        det = sc * sc + ss * ss
+        l00 = sc / det
+        l01 = ss / det
+        l10 = -ss / det
+        l11 = sc / det
+        t0 = -(tx * l00 + ty * l10)
+        t1 = -(tx * l01 + ty * l11)
+        u, v = src[..., 0], src[..., 1]
+        px = u * l00[..., None] + v * l10[..., None] + t0[..., None]
+        py = u * l01[..., None] + v * l11[..., None] + t1[..., None]
+        if reflected:
+            px = -px
+        dx, dy = px - dst[..., 0], py - dst[..., 1]
+        return np.sqrt((dx * dx + dy * dy).sum(-1))
+
+    r1 = fit(src, dst)
+    r2 = fit(src, dst * np.asarray([-1.0, 1.0]))
+    n1 = residual(r1, reflected=False)
+    n2 = residual(r2, reflected=True)
+    sc1, ss1 = np.abs(r1[..., 0]), np.abs(r1[..., 1])
+    sc2, ss2 = np.abs(r2[..., 0]), np.abs(r2[..., 1])
+    pick1 = n1 <= n2
+    tie = np.abs(n1 - n2) <= tie_rel * np.maximum(np.maximum(n1, n2), 1e-12)
+    sc = np.where(tie, np.maximum(sc1, sc2), np.where(pick1, sc1, sc2))
+    ss = np.where(tie, np.maximum(ss1, ss2), np.where(pick1, ss1, ss2))
+    return sc, ss
+
+
+_CROP_W_CHOICES = (32, 36, 40, 48, 64, 80, 96, 128, 160, 192, 256)
 
 
 def auto_warp_config(landmarks, ref_pts, src_hw: Tuple[int, int],
-                     out_hw: Tuple[int, int], *, tw: int = 16):
+                     out_hw: Tuple[int, int], *, tw: int = 8):
     """Pick a provably-exact (tile, crop) for warp_affine_tiled from the
     concrete transforms, host-side.
 
     Uses the column-band scheme: tiles span the full output height and the
     source window spans the full (padded) source height, so the y-extent
     bound holds by construction and only the per-band source-x extent needs
-    a crop — measured ~3x faster than square tiles on v5e for face
-    alignment (BASELINE.md). crop_w is the smallest quantized size covering
-    the extent (fewer distinct sizes = fewer compiled variants).
+    a crop. The v5e sweep (tools/bench_warp.py, BASELINE.md round 4) found
+    (a) full-height bands dominate every shorter-tile shape — the bilinear
+    y-weight tensor is fused into the einsum, so crop_h costs nothing and
+    per-tile window re-reads dominate instead; (b) the x-interp
+    intermediate (∝ crop_w·C lanes) is the binding cost: crop_w ≤ 40
+    (120 lanes ≤ the 128-lane register) measures 5.4-5.8 ms at batch 256
+    while 42-48 jumps to ~7.5 and the old (16-wide, 64-crop) config sits
+    at 10. Hence tw=8 bands with the smallest covering crop_w.
 
     Returns ((tile_h, tile_w), (crop_h, crop_w)), or None when no
     column-band config is exact (extreme scale/rotation) — callers fall
@@ -511,7 +579,7 @@ def auto_warp_config(landmarks, ref_pts, src_hw: Tuple[int, int],
     out_h, out_w = out_hw
     hp = h + (-h % 128)
     wp = w + (-w % 128)
-    sc, ss = _similarity_inv_abs_np(landmarks, ref_pts)
+    sc, ss = _selected_inv_abs_np(landmarks, ref_pts)
     cols = float((sc * (tw - 1) + ss * (out_h - 1)).max()) + 3
     for cw in _CROP_W_CHOICES:
         if cols <= cw <= wp:
@@ -531,7 +599,7 @@ def auto_band_crop_w(landmarks, ref_pts, src_hw: Tuple[int, int],
     """
     h, w = src_hw
     wp = max(w + (-w % 32), 64)
-    sc, ss = _similarity_inv_abs_np(landmarks, ref_pts)
+    sc, ss = _selected_inv_abs_np(landmarks, ref_pts)
     need = float((sc * (band_w - 1) + ss * (out_h - 1)).max()) + 3 + 32
     cw = max(-int(-need // 32) * 32, 64)
     return cw if cw <= wp else None
@@ -544,7 +612,7 @@ def align_tile_bound_ok(landmarks, ref_pts, tile: Tuple[int, int],
     batch's landmarks induce. src_y spans |sc|*(th-1) + |ss|*(tw-1) over a
     (th, tw) tile (and transposed for src_x); +3 covers the window anchor
     and bilinear taps (see warp_tile_extent)."""
-    sc, ss = _similarity_inv_abs_np(landmarks, ref_pts)
+    sc, ss = _selected_inv_abs_np(landmarks, ref_pts)
     th, tw = tile
     rows = float((sc * (th - 1) + ss * (tw - 1)).max()) + 3
     cols = float((sc * (tw - 1) + ss * (th - 1)).max()) + 3
@@ -612,15 +680,6 @@ def warp_affine(imgs, mats, *, out_hw: Tuple[int, int]):
     return out.reshape(n, out_h, out_w, c)
 
 
-def _pallas_known_good() -> bool:
-    """True iff a Pallas hardware probe already ran in this process and
-    passed. Never launches a probe (that costs a subprocess + up to 90s on
-    a blocked relay) — bench/serving entry points probe explicitly."""
-    from ffrnet_tpu.tools.pallas_probe import _cached
-
-    return bool(_cached.get("available"))
-
-
 def align_faces(imgs, landmarks, *, out_hw: Tuple[int, int] = (112, 96),
                 ref_pts=None, impl: str = "auto", check_bound: bool = True):
     """End-to-end batched alignment: landmarks -> cp2tform -> warp.
@@ -630,13 +689,16 @@ def align_faces(imgs, landmarks, *, out_hw: Tuple[int, int] = (112, 96),
     gen_lfw112x96.align, lfw/gen_lfw112x96.py:6-17).
 
     impl:
-      'auto'        — fastest provably-exact path: the fused Pallas
-                      column-band kernel when a hardware probe has passed
-                      in this process AND its extent bound holds; else the
-                      XLA column-band warp when ITS bound holds; else the
-                      unconditional MXU warp. (v5e, batch 256, 250->112:
-                      pallas 7.3ms / xla band 8.4ms / mxu 38.9ms.)
-      'pallas_band' — force the Pallas kernel (bound-checked, mxu fallback)
+      'auto'        — fastest provably-exact path: the XLA column-band
+                      warp at the swept-optimal config when its bound
+                      holds (v5e batch 256, 250->112: 5.4-5.8 ms with
+                      8-wide bands + crop_w 40 — now FASTER than the
+                      fused Pallas band kernel's 6.5 ms, and immune to
+                      the relay's intermittent pallas block); else the
+                      unconditional MXU warp (38 ms).
+      'pallas_band' — force the Pallas kernel (bound-checked, mxu
+                      fallback); requires pallas execution to work on
+                      this host — probe first (tools/pallas_probe.py)
       'tiled'       — force the XLA column-band warp (same fallback)
       'mxu'         — unconditional matmul warp
       'gather'      — XLA gather reference
@@ -652,7 +714,9 @@ def align_faces(imgs, landmarks, *, out_hw: Tuple[int, int] = (112, 96),
                            landmarks.shape[:-2] + (5, 2))
     mats = cv2_transform(landmarks.astype(jnp.float32), ref)
     if impl == "auto":
-        impl = "pallas_band" if _pallas_known_good() else "tiled"
+        # round-4 sweep: the XLA band at (8-wide, crop 40) beats the pallas
+        # band kernel outright — pallas stays available via impl=
+        impl = "tiled"
     kwargs = {}
     if impl == "pallas_band" and check_bound:
         lmk_np, ref_np = np.asarray(landmarks), np.asarray(ref_pts)

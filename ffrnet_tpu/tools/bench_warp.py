@@ -29,6 +29,8 @@ def main(argv=None):
                    choices=["fp32", "bf16"])
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--src", type=int, default=250, help="source image side")
+    p.add_argument("--configs", type=str, default="",
+                   help="override candidates: 'th,tw,ch,cw;th,tw,ch,cw;...'")
     args = p.parse_args(argv)
 
     import jax
@@ -68,6 +70,11 @@ def main(argv=None):
         ((14, 16), (64, 64)),
         ((28, 28), (96, 96)),
     ]
+    if args.configs:
+        configs = []
+        for spec in args.configs.split(";"):
+            th, tw, ch, cw = (int(v) for v in spec.split(","))
+            configs.append(((th, tw), (ch, cw)))
     for tile, crop in configs:
         if not warp_tile_bound_ok(mats_np, tile, crop):
             record(f"tiled{tile}x{crop}", None, skipped="bound")
