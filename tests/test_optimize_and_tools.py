@@ -99,3 +99,35 @@ def test_align_dataset_tool(tmp_path):
     assert n == 2
     crop = np.asarray(Image.open(out / "A_Person" / "A_Person_0001.jpg"))
     assert crop.shape == (112, 96, 3)
+
+
+def test_bench_warp_tool_smoke(capsys):
+    """bench_warp sweep plumbing on CPU: guarded configs run and report,
+    bound-violating configs report skipped."""
+    import json
+
+    from ffrnet_tpu.tools import bench_warp
+
+    bench_warp.main(["--batch", "2", "--dtype", "fp32", "--iters", "1",
+                     "--configs", "112,8,256,32;112,16,256,24"])
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    by_cfg = {l["config"]: l for l in lines}
+    assert by_cfg["tiled(112, 8)x(256, 32)_serial"]["ms"] > 0
+    assert by_cfg["tiled(112, 8)x(256, 32)_batched"]["ms"] > 0
+    # (112,16) needs ~38+ source cols; crop 24 must be refused by the guard
+    assert by_cfg["tiled(112, 16)x(256, 24)"]["skipped"] == "bound"
+    assert by_cfg["rowcrop128"]["ms"] > 0
+
+
+@pytest.mark.slow
+def test_bench_eval_tool_smoke(capsys):
+    import json
+
+    from ffrnet_tpu.tools import bench_eval
+
+    bench_eval.main(["--pairs", "20", "--batch", "10", "--dtype", "fp32",
+                     "--repeats", "1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metric"] == "lfw_eval_pass_seconds"
+    assert out["value"] > 0 and out["pairs"] == 20
