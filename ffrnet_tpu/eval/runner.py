@@ -65,6 +65,9 @@ def evaluate_pairs(enc_params, enc_state, rec_params, rec_state,
         raw_chunks.append(s_raw)
         new_chunks.append(s_new)
         labels.append(np.asarray(batch["label"]))
+    if not raw_chunks:
+        raise ValueError("evaluate_pairs got no batches — empty pair list "
+                         "or exhausted iterator?")
     scores_raw_d = jnp.concatenate(raw_chunks)
     scores_new_d = jnp.concatenate(new_chunks)
     lab = np.concatenate(labels)
@@ -121,10 +124,15 @@ def evaluate_pairs_multiprocess(enc_params, enc_state, rec_params, rec_state,
         raw_chunks.append(np.asarray(s_raw, np.float32))
         new_chunks.append(np.asarray(s_new, np.float32))
         lab_chunks.append(np.asarray(batch["label"]))
+    # a process can legitimately own ZERO pairs (n_pairs < process_count):
+    # it must still reach the collective below or every other host hangs
     local = {
-        "raw": np.concatenate(raw_chunks),
-        "new": np.concatenate(new_chunks),
-        "label": np.concatenate(lab_chunks).astype(np.int32),
+        "raw": (np.concatenate(raw_chunks) if raw_chunks
+                else np.zeros((0,), np.float32)),
+        "new": (np.concatenate(new_chunks) if new_chunks
+                else np.zeros((0,), np.float32)),
+        "label": (np.concatenate(lab_chunks).astype(np.int32) if lab_chunks
+                  else np.zeros((0,), np.int32)),
     }
     sizes = [process_pair_slice(n_pairs, p, process_count).stop
              - process_pair_slice(n_pairs, p, process_count).start

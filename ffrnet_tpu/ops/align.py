@@ -282,12 +282,13 @@ def warp_affine_tiled(imgs, mats, *, out_hw: Tuple[int, int],
 
     serial=True runs tiles sequentially (lax.map: bounds the live
     intermediate footprint to one tile). serial=False stacks every tile's
-    window and runs ONE batched einsum over (N, n_tiles): more live memory
-    (windows + wy + t for all tiles at once) but no sequential dispatch —
-    with many small tiles this trades HBM footprint for wall-clock; the
-    wy-weight HBM traffic scales with crop_h either way, so small tiles +
-    batched is the bandwidth-optimal XLA configuration (see
-    tools/bench_warp.py for the measured sweep).
+    window and runs ONE batched einsum over (N, n_tiles) — more live
+    memory, no sequential dispatch. MEASURED OUTCOME (tools/bench_warp.py,
+    BASELINE.md round 4): serial full-height column bands win everywhere;
+    batched is uniformly ~1.3-3x slower and short tiles lose in both
+    modes (XLA fuses the iota-built y-weights into the einsum, so
+    shrinking crop_h saves nothing while per-tile window re-reads grow).
+    serial=False is kept as the documented rejected branch.
 
     CORRECTNESS BOUND: each tile's source extent must fit `crop`; for a
     tile of (th, tw) that is |inv11|*(th-1) + |inv10|*(tw-1) + 3 source
@@ -452,52 +453,24 @@ def warp_tile_bound_ok(mats, tile: Tuple[int, int],
     return rows <= crop[0] and cols <= crop[1]
 
 
-def _similarity_inv_abs_np(src_pts, dst_pts):
-    """(|sc|, |ss|) of the dst->src linear map of the cp2tform similarity
-    fit, per batch element — pure numpy, no device work.
-
-    Numpy twin of _solve_nonreflective's normal equations: the solved
-    r = (sc, ss, tx, ty) IS the dst->src ("Tinv") linear part
-    [[sc, -ss], [ss, sc]] (lfw/matlab_cp2tform.py:311-320). Taken as the
-    elementwise max over the direct and Y-reflected fits, so it upper-bounds
-    whichever variant findSimilarity picks.
-    """
-    src = np.asarray(src_pts, np.float64)
-    dst = np.asarray(dst_pts, np.float64)
-
-    def fit(uv, xy):
-        x, y = xy[..., 0], xy[..., 1]
-        u, v = uv[..., 0], uv[..., 1]
-        k = x.shape[-1]
-        sxx = (x * x + y * y).sum(-1)
-        sx, sy = x.sum(-1), y.sum(-1)
-        zero, kk = np.zeros_like(sx), np.full_like(sx, float(k))
-        xtx = np.stack([
-            np.stack([sxx, zero, sx, sy], axis=-1),
-            np.stack([zero, sxx, sy, -sx], axis=-1),
-            np.stack([sx, sy, kk, zero], axis=-1),
-            np.stack([sy, -sx, zero, kk], axis=-1),
-        ], axis=-2)
-        xtu = np.stack([(x * u + y * v).sum(-1), (y * u - x * v).sum(-1),
-                        u.sum(-1), v.sum(-1)], axis=-1)
-        r = np.linalg.solve(xtx, xtu[..., None])[..., 0]
-        return np.abs(r[..., 0]), np.abs(r[..., 1])
-
-    sc1, ss1 = fit(src, dst)
-    sc2, ss2 = fit(src, dst * np.asarray([-1.0, 1.0]))
-    return np.maximum(sc1, sc2), np.maximum(ss1, ss2)
-
-
-def _selected_inv_abs_np(src_pts, dst_pts, *, tie_rel: float = 1e-6):
+def _selected_inv_abs_np(src_pts, dst_pts, *, tie_rel: float = 1e-3,
+                         tie_abs: float = 1e-2):
     """(|sc|, |ss|) of the dst->src linear map of the fit findSimilarity
     actually SELECTS — the residual comparison mirrored host-side in
     float64 (lfw/matlab_cp2tform.py:425-430 picks the lower-residual of
-    the direct and Y-reflected fits). Tighter than the max-over-both bound
-    of _similarity_inv_abs_np: for near-upright faces the reflected fit's
-    larger |ss| inflates the column-band crop bound by a whole bucket.
-    Where the two residuals are within tie_rel (the device pick could
-    diverge at float-noise level) the max over both is used — conservative
-    only in exact ties.
+    the direct and Y-reflected fits). Tighter than a max-over-both bound:
+    for near-upright faces the reflected fit's larger |ss| inflates the
+    column-band crop bound by a whole bucket.
+
+    Divergence safety: the DEVICE comparison (similarity_transform) runs
+    its normal-equation solve and residual norm in float32 on pixel-scale
+    coordinates, so its pick can differ from the float64 mirror when the
+    two residuals are close. Whenever |n1 - n2| <= tie_abs + tie_rel *
+    max(n1, n2) — far wider than any plausible f32 noise on O(100)-pixel
+    coordinates — the max over BOTH fits is used, so the bound covers
+    whichever fit the device picks. For real faces the reflected fit's
+    residual is enormously worse (a mirrored face), so the conservative
+    branch only engages on degenerate/symmetric landmark sets.
     """
     src = np.asarray(src_pts, np.float64)
     dst = np.asarray(dst_pts, np.float64)
@@ -545,7 +518,7 @@ def _selected_inv_abs_np(src_pts, dst_pts, *, tie_rel: float = 1e-6):
     sc1, ss1 = np.abs(r1[..., 0]), np.abs(r1[..., 1])
     sc2, ss2 = np.abs(r2[..., 0]), np.abs(r2[..., 1])
     pick1 = n1 <= n2
-    tie = np.abs(n1 - n2) <= tie_rel * np.maximum(np.maximum(n1, n2), 1e-12)
+    tie = np.abs(n1 - n2) <= tie_abs + tie_rel * np.maximum(n1, n2)
     sc = np.where(tie, np.maximum(sc1, sc2), np.where(pick1, sc1, sc2))
     ss = np.where(tie, np.maximum(ss1, ss2), np.where(pick1, ss1, ss2))
     return sc, ss

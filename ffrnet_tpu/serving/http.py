@@ -187,11 +187,14 @@ class EmbeddingHTTPServer:
                     elif self.path == "/enroll":
                         labels_json = self.headers.get("X-Labels-Json")
                         if labels_json is not None:
+                            # explicit checks, not assert: asserts vanish
+                            # under python -O and this is input validation
                             try:
                                 labels = json.loads(labels_json)
-                                assert isinstance(labels, list) and all(
-                                    isinstance(s, str) for s in labels)
-                            except (ValueError, AssertionError):
+                            except ValueError:
+                                labels = None
+                            if not (isinstance(labels, list) and all(
+                                    isinstance(s, str) for s in labels)):
                                 self._reply(
                                     400, b"X-Labels-Json must be a JSON "
                                     b"array of strings", "text/plain")

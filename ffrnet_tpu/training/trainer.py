@@ -206,9 +206,26 @@ def _pad_rows(x, rows: int):
     return jnp.pad(x, ((0, rows - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
 
 
+def _is_classifier_moment(path, x, cls_shape) -> bool:
+    """True for optimizer-state leaves that mirror the classifier weight:
+    the leaf must BOTH sit under a 'classifier' key in the optax state
+    tree (moments mirror the param dict structure) AND match its shape —
+    shape alone collides with e.g. the (32, 512) conv4channel linears when
+    num_classes is small (review finding, round 4)."""
+    if not (hasattr(x, "shape") and tuple(x.shape) == cls_shape):
+        return False
+    return any(getattr(k, "key", None) == "classifier" for k in path)
+
+
+def _map_classifier_moments(opt_state, cls_shape, fn):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: fn(x) if _is_classifier_moment(path, x, cls_shape)
+        else x, opt_state)
+
+
 def pad_train_state_classes(state: TrainState, rows: int) -> TrainState:
     """Zero-pad the classifier class axis (and the optimizer moments that
-    mirror its shape) to `rows`, so the axis divides a 'model' mesh axis.
+    mirror it) to `rows`, so the axis divides a 'model' mesh axis.
 
     Padded rows are inert: add_margin_logits masks their logits out of the
     softmax, so they receive zero gradient and stay zero. No-op when the
@@ -219,17 +236,11 @@ def pad_train_state_classes(state: TrainState, rows: int) -> TrainState:
         return state
     if cls.shape[0] > rows:
         raise ValueError(f"classifier has {cls.shape[0]} rows > target {rows}")
-    cls_shape = tuple(cls.shape)
-
-    def leaf(x):
-        if hasattr(x, "shape") and tuple(x.shape) == cls_shape:
-            return _pad_rows(x, rows)
-        return x
-
     params = dict(state.params)
     params["classifier"] = {"w": _pad_rows(cls, rows)}
-    return TrainState(params, state.model_state,
-                      jax.tree.map(leaf, state.opt_state), state.step)
+    opt_state = _map_classifier_moments(
+        state.opt_state, tuple(cls.shape), lambda x: _pad_rows(x, rows))
+    return TrainState(params, state.model_state, opt_state, state.step)
 
 
 def unpad_train_state_classes(state: TrainState, num_classes: int) -> TrainState:
@@ -239,31 +250,23 @@ def unpad_train_state_classes(state: TrainState, num_classes: int) -> TrainState
     cls = state.params["classifier"]["w"]
     if cls.shape[0] == num_classes:
         return state
-    cls_shape = tuple(cls.shape)
-
-    def leaf(x):
-        if hasattr(x, "shape") and tuple(x.shape) == cls_shape:
-            return x[:num_classes]
-        return x
-
     params = dict(state.params)
     params["classifier"] = {"w": cls[:num_classes]}
-    return TrainState(params, state.model_state,
-                      jax.tree.map(leaf, state.opt_state), state.step)
+    opt_state = _map_classifier_moments(
+        state.opt_state, tuple(cls.shape), lambda x: x[:num_classes])
+    return TrainState(params, state.model_state, opt_state, state.step)
 
 
 def _opt_state_shardings(mesh, opt_state, cls_shape):
-    """Replicate optimizer state except moments matching the classifier
-    weight shape, which shard over 'model' like the weight itself."""
+    """Replicate optimizer state except the classifier-weight moments
+    (matched by tree path + shape, like pad_train_state_classes), which
+    shard over 'model' like the weight itself."""
     rep = replicated(mesh)
     cls = NamedSharding(mesh, P("model", None))
-
-    def leaf(x):
-        if hasattr(x, "shape") and tuple(x.shape) == tuple(cls_shape):
-            return cls
-        return rep
-
-    return jax.tree.map(leaf, opt_state)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: cls if _is_classifier_moment(path, x,
+                                                     tuple(cls_shape))
+        else rep, opt_state)
 
 
 def _train_state_shardings(mesh, state: TrainState) -> TrainState:

@@ -155,35 +155,33 @@ def test_warp_band_pallas_matches_gather():
                                        err_msg=f"{out_hw} cw={cw}")
 
 
-def test_align_faces_auto_and_band_guard(monkeypatch):
-    """impl='auto' prefers the Pallas band kernel only after a passed
-    probe; the band bound guard falls back to the MXU warp on extreme
-    transforms."""
-    from ffrnet_tpu.ops import align
-    from ffrnet_tpu.ops.align import ARCFACE_REF_PTS, align_faces
-    from ffrnet_tpu.tools import pallas_probe
+def test_align_faces_auto_and_band_guard():
+    """impl='auto' is the XLA band (round-4 sweep: faster than the pallas
+    kernel, no probe dependency) and must match the gather golden; the
+    pallas band's bound guard falls back to the MXU warp on extreme
+    transforms (still exact)."""
+    from ffrnet_tpu.ops.align import (ARCFACE_REF_PTS, align_faces,
+                                      cv2_transform, warp_affine)
 
     rng = np.random.default_rng(12)
     imgs = jnp.asarray(rng.uniform(0, 255, (2, 250, 250, 3)).astype(np.float32))
     pts = (ARCFACE_REF_PTS[None].repeat(2, 0) * 2.0 + 20).astype(np.float32)
-
-    # no probe ran -> auto == tiled
-    pallas_probe._cached.clear()
-    out_tiled = np.asarray(align_faces(imgs, jnp.asarray(pts), impl="auto"))
-    # fake a passed probe -> auto == pallas_band (interpret mode on CPU)
-    monkeypatch.setitem(pallas_probe._cached, "available", True)
-    out_band = np.asarray(align_faces(imgs, jnp.asarray(pts), impl="auto"))
-    np.testing.assert_allclose(out_band, out_tiled, atol=1e-2, rtol=1e-4)
+    ref = jnp.broadcast_to(jnp.asarray(ARCFACE_REF_PTS), (2, 5, 2))
+    gold = np.asarray(warp_affine(
+        imgs, cv2_transform(jnp.asarray(pts), ref), out_hw=(112, 96)))
+    out_auto = np.asarray(align_faces(imgs, jnp.asarray(pts), impl="auto"))
+    np.testing.assert_allclose(out_auto, gold, atol=1e-2, rtol=1e-4)
 
     # extreme scale: band bound fails -> silently exact via MXU fallback
     big = (ARCFACE_REF_PTS[None].repeat(2, 0) * 12.0).astype(np.float32)
     big_imgs = jnp.asarray(rng.uniform(0, 255, (2, 300, 300, 3)).astype(np.float32))
-    from ffrnet_tpu.ops.align import warp_affine, cv2_transform
-    ref = jnp.broadcast_to(jnp.asarray(ARCFACE_REF_PTS), (2, 5, 2))
-    gold = np.asarray(warp_affine(big_imgs,
-                                  cv2_transform(jnp.asarray(big), ref),
-                                  out_hw=(112, 96)))
+    gold_big = np.asarray(warp_affine(big_imgs,
+                                      cv2_transform(jnp.asarray(big), ref),
+                                      out_hw=(112, 96)))
     got = np.asarray(align_faces(big_imgs, jnp.asarray(big),
                                  impl="pallas_band"))
-    np.testing.assert_allclose(got, gold, atol=1e-2, rtol=1e-4)
-    pallas_probe._cached.clear()
+    np.testing.assert_allclose(got, gold_big, atol=1e-2, rtol=1e-4)
+    # ... and impl='auto' must ALSO survive the extreme transform exactly
+    got_auto = np.asarray(align_faces(big_imgs, jnp.asarray(big),
+                                      impl="auto"))
+    np.testing.assert_allclose(got_auto, gold_big, atol=1e-2, rtol=1e-4)

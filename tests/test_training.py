@@ -645,6 +645,27 @@ def test_pad_unpad_train_state_roundtrip():
     assert pad_train_state_classes(state, 13) is state
     assert unpad_train_state_classes(state, 13) is state
 
+    # shape-collision regression (review finding): conv4channel lin2/lin4
+    # weights are (32, 512) — with num_classes=30 padded to 32, matching
+    # moments by shape alone would corrupt THEIR moments on unpad. The
+    # path-based matcher must touch only the classifier subtree.
+    cfg30 = TrainerConfig(optimizer="adam", lr=1e-3,
+                          recnet=RecNetConfig(num_classes=30))
+    st30 = create_train_state(jax.random.PRNGKey(2), cfg30)
+    padded30 = pad_train_state_classes(st30, 32)
+    assert padded30.params["classifier"]["w"].shape == (32, 512)
+    back30 = unpad_train_state_classes(padded30, 30)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        (back30.params, back30.opt_state), (st30.params, st30.opt_state))
+    # lin2 moments keep their (32, 512) shape through the padded state
+    flat = jax.tree_util.tree_flatten_with_path(padded30.opt_state)[0]
+    lin2_moments = [x for path, x in flat
+                    if any(getattr(k, "key", None) == "lin2" for k in path)
+                    and hasattr(x, "ndim") and x.ndim == 2]
+    assert lin2_moments and all(m.shape == (32, 512) for m in lin2_moments)
+
 
 @pytest.mark.slow
 def test_distributed_tp_odd_classes_matches_single_device():
