@@ -131,3 +131,34 @@ def test_bench_eval_tool_smoke(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["metric"] == "lfw_eval_pass_seconds"
     assert out["value"] > 0 and out["pairs"] == 20
+
+
+@pytest.mark.slow
+def test_parity_check_tool_on_synthesized_weights(reference, tmp_path):
+    """The standing accuracy-parity gate (tools/parity_check.py) must WORK
+    the moment real released weights appear: synthesize a .pth pair from
+    randomly-initialized reference modules, run the tool's comparison, and
+    require fp32-level equivalence end-to-end (reader -> converters -> our
+    stack vs the torch reference modules)."""
+    t = reference.torch
+    t.manual_seed(7)
+    enc = reference.irse.Backbone(50, 0.6, "ir_se").eval()
+    with t.no_grad():  # non-trivial eval-BN statistics
+        for m in enc.modules():
+            if isinstance(m, (t.nn.BatchNorm1d, t.nn.BatchNorm2d)):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+    enc_path = tmp_path / "se50.pth"
+    t.save(enc.state_dict(), str(enc_path))
+
+    rec = reference.recnet.RecNet().eval()
+    rec_path = tmp_path / "FFRNet.pth"
+    t.save({"RecNet": rec.state_dict()}, str(rec_path))
+
+    from ffrnet_tpu.tools.parity_check import compare_with_torch
+
+    report = compare_with_torch(str(enc_path), str(rec_path), n=2)
+    assert "torch_comparison" not in report, report
+    assert report["featmap_max_diff"] < 5e-4, report
+    assert report["embed_max_diff"] < 5e-5, report
+    assert report["rectified_max_diff"] < 5e-4, report
