@@ -20,6 +20,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 REFERENCE_ROOT = "/root/reference"
@@ -41,3 +42,31 @@ def reference():
     import pretrain.model_ir_se50 as ref_irse  # noqa: F401
 
     return types.SimpleNamespace(torch=torch, irse=ref_irse, recnet=ref_recnet)
+
+
+@pytest.fixture
+def lfw_tree(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "lfw"
+    pairs_lines = ["600\n"]
+    # 6 identities x 2 images, 30 pairs cycled to n=60 for a 10-fold run
+    names = [f"Person_{i}" for i in range(6)]
+    for name in names:
+        d = root / name
+        d.mkdir(parents=True)
+        base = rng.integers(0, 255, (112, 112, 3), dtype=np.uint8)
+        for i in (1, 2):
+            img = np.clip(base + rng.integers(-10, 10, base.shape), 0,
+                          255).astype(np.uint8)
+            Image.fromarray(img).save(d / f"{name}_{i:04}.jpg")
+            Image.fromarray(img // 3).save(d / f"{name}_{i:04}_m.jpg")
+    for k in range(30):
+        i = k % 6
+        pairs_lines.append(f"Person_{i}\t1\t2\n")  # same
+        j, l = k % 6, (k + 1) % 6
+        pairs_lines.append(f"Person_{j}\t1\tPerson_{l}\t2\n")  # diff
+    pairs = root / "pairs.txt"
+    pairs.write_text("".join(pairs_lines))
+    return root, pairs

@@ -17,7 +17,8 @@ import os
 import sys
 
 
-def eval_main(proc_id: int, nprocs: int) -> None:
+def eval_main(proc_id: int, nprocs: int, lfw_root: str = "",
+              pairs_path: str = "") -> None:
     """Eval-path integration (VERDICT r1 #6): per-process contiguous pair
     slices -> local scoring -> cross-process score all-gather -> replicated
     fold sweep; must equal the single-process protocol bit-for-bit.
@@ -53,9 +54,38 @@ def eval_main(proc_id: int, nprocs: int) -> None:
     def score(e_p, e_s, r_p, r_s, img1, img2):
         a = img1.reshape(img1.shape[0], -1)
         b = img2.reshape(img2.shape[0], -1)
-        raw = jnp.tanh(jnp.sum(a * b, axis=1) / 48.0)
-        new = jnp.tanh(jnp.sum(a * b, axis=1) / 24.0 - 0.1)
+        d = a.shape[1]
+        raw = jnp.tanh(jnp.sum(a * b, axis=1) / d)
+        new = jnp.tanh(jnp.sum(a * b, axis=1) / (d / 2) - 0.1)
         return raw, new
+
+    if lfw_root:
+        # REAL LfwPairs files from disk, sliced per process via SliceDataset
+        # (the driver's multi-host eval routing, train.py::make_eval_batches)
+        from ffrnet_tpu.data.pipeline import BatchLoader, SliceDataset
+        from ffrnet_tpu.data.datasets import LfwPairs
+
+        ds = LfwPairs(lfw_root, pairs_path, test_ocl_num=1, flip_prob=0.0)
+        n_real = len(ds)
+        local = BatchLoader(
+            SliceDataset(ds, process_pair_slice(n_real, proc_id, nprocs)),
+            16, shuffle=False, drop_last=False, num_threads=2,
+            process_index=0, process_count=1)
+        res_new, res_raw = evaluate_pairs_multiprocess(
+            None, None, None, None, local.epoch(0), n_pairs=n_real,
+            score_fn=score)
+        full = BatchLoader(ds, 16, shuffle=False, drop_last=False,
+                           num_threads=2, process_index=0, process_count=1)
+        ref_new, ref_raw = evaluate_pairs(
+            None, None, None, None, full.epoch(0), score_fn=score)
+        assert np.array_equal(np.asarray(res_new.fold_accuracies),
+                              np.asarray(ref_new.fold_accuracies))
+        assert float(res_raw.mean_accuracy) == float(ref_raw.mean_accuracy)
+        print(f"RESULT {proc_id} lfw_eval "
+              f"acc_new={float(res_new.mean_accuracy):.6f} "
+              f"acc={float(res_raw.mean_accuracy):.6f} "
+              f"single_process=match", flush=True)
+        return
 
     sl = process_pair_slice(n_pairs, proc_id, nprocs)
     res_new, res_raw = evaluate_pairs_multiprocess(
@@ -88,7 +118,9 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
     if mode == "eval":
-        eval_main(proc_id, nprocs)
+        eval_main(proc_id, nprocs,
+                  lfw_root=sys.argv[5] if len(sys.argv) > 5 else "",
+                  pairs_path=sys.argv[6] if len(sys.argv) > 6 else "")
         jax.distributed.shutdown()
         return
 

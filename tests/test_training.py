@@ -466,7 +466,7 @@ def test_objective_converges_on_synthetic_identities(tmp_path):
     assert curve[-1]["total"] < curve[0]["total"] / 2
 
 
-def _run_two_process_workers(mode):
+def _run_two_process_workers(mode, *extra_args):
     """Spawn 2 real processes x 4 CPU devices running distributed_worker.py
     under jax.distributed.initialize; returns the sorted RESULT lines."""
     import os
@@ -486,7 +486,8 @@ def _run_two_process_workers(mode):
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
     procs = [subprocess.Popen(
-        [sys.executable, script, str(i), "2", str(port), mode],
+        [sys.executable, script, str(i), "2", str(port), mode]
+        + list(extra_args),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
         for i in range(2)]
     outs = []
@@ -534,6 +535,19 @@ def test_two_process_distributed_eval():
     tail1 = results[1].split(" ", 2)[2]
     assert tail0 == tail1, results
     assert "single_process=match" in tail0
+
+
+@pytest.mark.slow
+def test_two_process_distributed_eval_lfw_pairs(lfw_tree):
+    """Same multi-host eval machinery over REAL LfwPairs files on disk
+    (ocl twin substitution, JPEG decode, SliceDataset contiguous shard —
+    the exact path the driver routes through when process_count > 1)."""
+    root, pairs = lfw_tree
+    results = _run_two_process_workers("eval", str(root), str(pairs))
+    tail0 = results[0].split(" ", 2)[2]
+    tail1 = results[1].split(" ", 2)[2]
+    assert tail0 == tail1, results
+    assert "lfw_eval" in tail0 and "single_process=match" in tail0
 
 
 def test_remat_step_matches_plain():
