@@ -235,43 +235,62 @@ def train(opts: Options) -> None:
     total_iters = opts.total_epochs * len(loader)
     score_fn = make_pair_score_fn(cfg.recnet)
 
+    # Per-iter metrics are recorded LAZILY: each step's device scalars are
+    # queued and fetched in ONE device_get at the next print/save/eval
+    # boundary. Through a relayed TPU a per-iteration float() sync costs a
+    # ~50 ms RTT — more than the 39 ms step itself — so eager fetching
+    # would halve real driver throughput; batching preserves every
+    # per-iter scalar while amortizing the RTT over print_freq steps.
+    pending: list = []
+
+    def flush_metrics() -> None:
+        """Fetch + log all queued metrics; runs the non-finite failure
+        check over them. Called before every checkpoint write, eval, and
+        preemption exit, so a poisoned step (the reference had no such
+        guard; recovery = --continue_train 1) still never reaches a
+        checkpoint."""
+        if not pending:
+            return
+        fetched = jax.device_get([m for _, _, m in pending])
+        queued, pending[:] = list(pending), []
+        for (it, ep, _), m in zip(queued, fetched):
+            logger.set_current_iter(it, ep)
+            values = {k: f"{float(v):.4f}" for k, v in m.items()
+                      if k != "LR"}
+            logger.record_scalar(values, "train_values")
+            logger.print_scalar({"LR": f"{float(m['LR']):.6f}"})
+            if not np.isfinite(float(m["TotalLoss"])):
+                logger.close()
+                raise FloatingPointError(
+                    f"non-finite loss at iter {it} (epoch {ep}); "
+                    f"restart with --continue_train 1 --which_file latest")
+
     for epoch in range(start_epoch, opts.total_epochs):
         for i, batch in enumerate(loader.epoch(epoch)):
             if epoch == start_epoch and i < start_iter:
                 continue
             cur_iters += 1
-            logger.set_current_iter(cur_iters, epoch)
             timer.update_time("DataTime")
 
             state, metrics = step(enc_params, enc_state, state, batch)
             timer.update_time("Step")
-
-            # failure detection: a non-finite loss means the step is
-            # poisoned — stop before it contaminates checkpoints (the
-            # reference had no such guard; recovery = --continue_train 1).
-            total = float(metrics["TotalLoss"])
-            if not np.isfinite(total):
-                logger.close()
-                raise FloatingPointError(
-                    f"non-finite loss at iter {cur_iters} (epoch {epoch}); "
-                    f"restart with --continue_train 1 --which_file latest")
-
-            values = {k: f"{float(v):.4f}" for k, v in metrics.items()
-                      if k != "LR"}
-            logger.record_scalar(values, "train_values")
-            logger.print_scalar({"LR": f"{float(metrics['LR']):.6f}"})
+            pending.append((cur_iters, epoch, metrics))
 
             if cur_iters % opts.print_freq == 0:
+                flush_metrics()
                 print(f"Model Configuration: {opts.save_weight_dir}")
                 logger.print_iter_summary(total_iters, opts.total_epochs, timer)
 
             if cur_iters % opts.save_freq == 0:
+                flush_metrics()
                 name = "debug" if opts.debug else f"{cur_iters:07d}"
                 save_now(name, epoch, cur_iters)
             if cur_iters % max(opts.save_freq // 10, 1) == 0:
+                flush_metrics()
                 save_now("latest", epoch, cur_iters)
 
             if guard.requested:
+                flush_metrics()
                 save_now("latest", epoch, cur_iters)
                 print(f"[preempt] checkpointed at iter {cur_iters} "
                       f"(epoch {epoch}); resume with --continue_train 1 "
@@ -280,6 +299,7 @@ def train(opts: Options) -> None:
                 return
 
             if opts.eval_freq and cur_iters % opts.eval_freq == 0 and opts.test_data:
+                flush_metrics()
                 rec = (state.params, state.model_state)
                 enc = (enc_params, enc_state)
                 for ocl in range(1 if opts.debug else 3):
@@ -290,6 +310,7 @@ def train(opts: Options) -> None:
                           f"acc {acc:.4f}")
             if opts.debug:
                 break
+    flush_metrics()
     logger.close()
 
 

@@ -91,3 +91,32 @@ def test_eval_batches_deterministic_by_default(lfw_tree):
     # faithful mode restores the reference's seed-dependent flips
     assert not np.array_equal(first_epoch(1, faithful=1),
                               first_epoch(2, faithful=1))
+
+
+@pytest.mark.slow
+def test_non_finite_loss_aborts_before_checkpoint(tmp_path, monkeypatch):
+    """Failure detection through the LAZY metrics flush: an exploding run
+    (lr=1e30) must raise FloatingPointError naming the poisoned iter, and
+    every checkpoint on disk must still hold finite params (the flush runs
+    before each save, so a poisoned step never reaches a checkpoint)."""
+    import glob
+
+    from ffrnet_tpu.checkpoint.store import load_checkpoint
+    from ffrnet_tpu.config import Options
+    from ffrnet_tpu.train import train
+
+    monkeypatch.chdir(tmp_path)
+    opts = Options(phase="train", train_data="synthetic", num_classes=8,
+                   batch_size=8, total_epochs=1, optimizer="sgd", lr=1e30,
+                   save_freq=1, print_freq=1000, eval_freq=0, n_thread=2,
+                   seed=0, weight_root=str(tmp_path / "w")).finalize()
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        train(opts)
+    for f in glob.glob(str(tmp_path / "w" / "**" / "*.pth.gzip"),
+                       recursive=True):
+        import os
+
+        params, _, _, _ = load_checkpoint(os.path.dirname(f),
+                                          os.path.basename(f).split(".")[0])
+        for leaf in jax.tree.leaves(params):
+            assert np.isfinite(np.asarray(leaf)).all(), f
