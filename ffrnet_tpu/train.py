@@ -264,10 +264,22 @@ def train(opts: Options) -> None:
                 raise FloatingPointError(
                     f"non-finite loss at iter {it} (epoch {ep}); "
                     f"restart with --continue_train 1 --which_file latest")
+        # keep the fetch RTT out of the next iteration's DataTime bucket
+        timer.update_time("Flush")
+
+    # In-epoch resume fast-forward. Checkpoints store the GLOBAL iteration;
+    # the batches already consumed within the resume epoch are
+    # start_iter - start_epoch*len(loader). The reference compares the
+    # per-epoch index i against the GLOBAL count (train.py:42), which for
+    # any resume epoch >= 1 skips the ENTIRE epoch — silently dropping up
+    # to len(loader) training batches. Fixed here (PARITY.md "Deliberate
+    # behavior differences").
+    skip_in_epoch = min(max(start_iter - start_epoch * len(loader), 0),
+                        len(loader))
 
     for epoch in range(start_epoch, opts.total_epochs):
         for i, batch in enumerate(loader.epoch(epoch)):
-            if epoch == start_epoch and i < start_iter:
+            if epoch == start_epoch and i < skip_in_epoch:
                 continue
             cur_iters += 1
             timer.update_time("DataTime")

@@ -13,7 +13,7 @@ from ffrnet_tpu.data.pipeline import BatchLoader
 
 
 @pytest.fixture
-def lfw_tree(tmp_path):
+def tiny_lfw_tree(tmp_path):
     """Tiny LFW-style tree with masked twins and a pairs.txt."""
     from PIL import Image
 
@@ -37,16 +37,16 @@ def lfw_tree(tmp_path):
     return root, pairs
 
 
-def test_parse_pairs_txt(lfw_tree):
-    root, pairs = lfw_tree
+def test_parse_pairs_txt(tiny_lfw_tree):
+    root, pairs = tiny_lfw_tree
     names, labels = parse_pairs_txt(str(pairs))
     assert names == [("Alice_A/Alice_A_0001.jpg", "Alice_A/Alice_A_0002.jpg"),
                      ("Alice_A/Alice_A_0001.jpg", "Bob_B/Bob_B_0002.jpg")]
     assert labels == [1, 0]
 
 
-def test_find_mask_twin(lfw_tree):
-    root, _ = lfw_tree
+def test_find_mask_twin(tiny_lfw_tree):
+    root, _ = tiny_lfw_tree
     _listdir_cached.cache_clear()
     twin = find_mask_twin(str(root), "Alice_A/Alice_A_0001.jpg")
     assert twin == os.path.join("Alice_A", "Alice_A_0001_surgical.jpg")
@@ -56,8 +56,8 @@ def test_find_mask_twin(lfw_tree):
     assert find_mask_twin(str(root), "Alice_A/Alice_A_0001_surgical.jpg") is None
 
 
-def test_lfw_pairs_ocl_substitution(lfw_tree):
-    root, pairs = lfw_tree
+def test_lfw_pairs_ocl_substitution(tiny_lfw_tree):
+    root, pairs = tiny_lfw_tree
     _listdir_cached.cache_clear()
     rng = np.random.default_rng(0)
     ds0 = LfwPairs(str(root), str(pairs), test_ocl_num=0, flip_prob=0.0)
@@ -72,7 +72,7 @@ def test_lfw_pairs_ocl_substitution(lfw_tree):
     assert s0["img1"].min() >= -1.0 and s0["img1"].max() <= 1.0
 
 
-def test_lfw_pairs_missing_twin_fails_loudly(lfw_tree, tmp_path):
+def test_lfw_pairs_missing_twin_fails_loudly(tiny_lfw_tree, tmp_path):
     # evaluating the clean image as "masked" would silently inflate ocl
     # accuracy (the reference crashes on a missing twin too)
     from PIL import Image
@@ -126,8 +126,8 @@ def test_batch_loader_rejects_bad_process_args():
         BatchLoader(ds, 4, process_index=2, process_count=2)
 
 
-def test_casia_pairs_bgr_and_flip(lfw_tree, tmp_path):
-    root, _ = lfw_tree
+def test_casia_pairs_bgr_and_flip(tiny_lfw_tree, tmp_path):
+    root, _ = tiny_lfw_tree
     _listdir_cached.cache_clear()
     lst = tmp_path / "list.txt"
     lst.write_text("Alice_A/Alice_A_0001.jpg 0\nBob_B/Bob_B_0002.jpg 1\n")

@@ -112,11 +112,58 @@ def test_non_finite_loss_aborts_before_checkpoint(tmp_path, monkeypatch):
                    seed=0, weight_root=str(tmp_path / "w")).finalize()
     with pytest.raises(FloatingPointError, match="non-finite loss"):
         train(opts)
-    for f in glob.glob(str(tmp_path / "w" / "**" / "*.pth.gzip"),
-                       recursive=True):
+    found = glob.glob(str(tmp_path / "w" / "**" / "*.pth.gzip"),
+                      recursive=True)
+    assert found, "expected at least one checkpoint before the abort"
+    for f in found:
         import os
 
         params, _, _, _ = load_checkpoint(os.path.dirname(f),
                                           os.path.basename(f).split(".")[0])
         for leaf in jax.tree.leaves(params):
             assert np.isfinite(np.asarray(leaf)).all(), f
+
+
+@pytest.mark.slow
+def test_resume_mid_epoch_after_epoch_zero(tmp_path, monkeypatch):
+    """Resume fast-forward uses the IN-EPOCH offset: a checkpoint taken
+    mid-epoch-1 must resume with the remaining batches of epoch 1, not
+    skip the whole epoch (the reference compares the per-epoch index
+    against the GLOBAL iter, train.py:42 — silently dropping up to a full
+    epoch of training; fixed, PARITY.md)."""
+    import glob
+    import shutil
+
+    from ffrnet_tpu.checkpoint.store import load_checkpoint
+    from ffrnet_tpu.config import Options
+    from ffrnet_tpu.train import train
+
+    monkeypatch.chdir(tmp_path)
+
+    def make_opts(root, extra=None):
+        kw = dict(phase="train", train_data="synthetic", num_classes=16,
+                  batch_size=8, total_epochs=2, optimizer="sgd", lr=1e-3,
+                  save_freq=4, print_freq=1000, eval_freq=0, n_thread=2,
+                  seed=0, weight_root=str(root))
+        kw.update(extra or {})
+        return Options(**kw).finalize()
+
+    # full run: 64 synthetic samples / batch 8 = 8 steps/epoch x 2 epochs
+    train(make_opts(tmp_path / "w1"))
+    ck1 = glob.glob(str(tmp_path / "w1" / "**" / "0000012.pth.gzip"),
+                    recursive=True)
+    assert ck1, "expected the numbered iter-12 checkpoint (epoch 1)"
+    _, _, _, meta = load_checkpoint(os.path.dirname(ck1[0]), "0000012")
+    assert meta == {"epoch": 1, "iter": 12}
+
+    # resume from iter 12 (epoch 1, in-epoch offset 4) in a FRESH root:
+    # only the copied checkpoint exists, so any 'latest' afterward was
+    # written by the resumed run itself
+    opts2 = make_opts(tmp_path / "w2", {"continue_train": 1,
+                                        "which_file": "0000012"})
+    shutil.copy(ck1[0], os.path.join(opts2.ckpt_dir, "0000012.pth.gzip"))
+    train(opts2)
+    # the fixed fast-forward trains exactly steps 13..16; the reference's
+    # global-index comparison would skip all of epoch 1 and write nothing
+    _, _, _, meta2 = load_checkpoint(opts2.ckpt_dir, "latest")
+    assert meta2 == {"epoch": 1, "iter": 16}, meta2
