@@ -31,6 +31,34 @@ def save_orbax(ckpt_dir: str, step: int, state: Any) -> str:
     return path
 
 
+def latest_orbax_step(ckpt_dir: str) -> Optional[int]:
+    """Newest completed orbax step in ckpt_dir, or None."""
+    import re
+
+    cands = sorted(d for d in os.listdir(ckpt_dir)
+                   if re.fullmatch(r"orbax_\d{9}", d))
+    return int(cands[-1].split("_")[1]) if cands else None
+
+
+def prune_orbax(ckpt_dir: str, *, keep_every: int, keep_last: int = 2) -> int:
+    """Remove orbax step dirs that are neither multiples of `keep_every`
+    (the reference's numbered-checkpoint cadence) nor among the newest
+    `keep_last` (the 'latest' role). Returns the number removed."""
+    import re
+    import shutil
+
+    cands = sorted(d for d in os.listdir(ckpt_dir)
+                   if re.fullmatch(r"orbax_\d{9}", d))
+    removed = 0
+    for d in cands[:-keep_last] if keep_last else cands:
+        step = int(d.split("_")[1])
+        if keep_every and step % keep_every == 0:
+            continue
+        shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+        removed += 1
+    return removed
+
+
 def load_orbax(ckpt_dir: str, step: Optional[int] = None) -> Any:
     """Restore a TrainState pytree; step=None -> latest orbax_* dir."""
     ocp = _ocp()

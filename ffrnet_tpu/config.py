@@ -62,6 +62,10 @@ class Options:
     batch_size: int = 64
     total_epochs: int = 10
     continue_train: int = 0
+    ckpt_backend: str = "pth"     # 'pth' = torch-compatible .pth.gzip store
+    # (checkpoint/store.py); 'orbax' = async/atomic per-shard orbax saves
+    # (checkpoint/orbax_io.py) for large-scale runs — steps replace the
+    # latest/numbered split, pruned to the save_freq multiples + newest
     save_freq: int = 2000
     print_freq: int = 10
     eval_freq: int = 100
@@ -161,6 +165,8 @@ def parse_args(argv: Optional[List[str]] = None, *, make_dirs: bool = True) -> O
     p.add_argument("--batch_size", type=int, default=defaults.batch_size)
     p.add_argument("--total_epochs", type=int, default=defaults.total_epochs)
     p.add_argument("--continue_train", type=int, default=defaults.continue_train)
+    p.add_argument("--ckpt_backend", type=str,
+                   default=defaults.ckpt_backend, choices=["pth", "orbax"])
     p.add_argument("--save_freq", type=int, default=defaults.save_freq)
     p.add_argument("--print_freq", type=int, default=defaults.print_freq)
     p.add_argument("--eval_freq", type=int, default=defaults.eval_freq)

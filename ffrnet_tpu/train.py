@@ -198,8 +198,20 @@ def train(opts: Options) -> None:
     if opts.continue_train:
         from ffrnet_tpu.checkpoint.store import restore_opt_state
 
-        params, model_state, opt_leaves, meta = load_checkpoint(
-            opts.ckpt_dir, opts.which_file)
+        if opts.ckpt_backend == "orbax":
+            from ffrnet_tpu.checkpoint.orbax_io import load_orbax
+
+            payload = load_orbax(
+                opts.ckpt_dir,
+                None if opts.which_file == "latest"
+                else int(opts.which_file))
+            params, model_state = payload["params"], payload["model_state"]
+            opt_leaves = payload["opt_leaves"]
+            meta = {"epoch": int(payload["epoch"]),
+                    "iter": int(payload["iter"])}
+        else:
+            params, model_state, opt_leaves, meta = load_checkpoint(
+                opts.ckpt_dir, opts.which_file)
         tx_state = (state.opt_state if opt_leaves is None
                     else restore_opt_state(state.opt_state, opt_leaves))
         state = TrainState(params, model_state, tx_state,
@@ -217,10 +229,28 @@ def train(opts: Options) -> None:
         mesh, cfg, enc_params, enc_state, state)
     bshard = batch_sharding(mesh)
 
+    last_orbax_step = [-1]
+
     def save_now(name: str, epoch: int, iteration: int) -> None:
         # slice TP class padding off before writing: checkpoints keep the
         # torch-compatible (num_classes, 512) classifier (models/recnet.py:248)
         ck = unpad_train_state_classes(state, cfg.recnet.num_classes)
+        if opts.ckpt_backend == "orbax":
+            # orbax steps subsume the latest/numbered split: each save is
+            # the step number; retention keeps the save_freq multiples
+            # (the reference's numbered cadence) plus the newest
+            if iteration == last_orbax_step[0]:
+                return  # same boundary hit both cadences this iter
+            from ffrnet_tpu.checkpoint.orbax_io import (prune_orbax,
+                                                        save_orbax)
+
+            save_orbax(opts.ckpt_dir, iteration, {
+                "params": ck.params, "model_state": ck.model_state,
+                "opt_leaves": list(jax.tree.leaves(ck.opt_state)),
+                "epoch": epoch, "iter": iteration})
+            prune_orbax(opts.ckpt_dir, keep_every=opts.save_freq)
+            last_orbax_step[0] = iteration
+            return
         save_checkpoint(opts.ckpt_dir, name, params=ck.params,
                         model_state=ck.model_state, opt_state=ck.opt_state,
                         epoch=epoch, iteration=iteration)

@@ -167,3 +167,39 @@ def test_resume_mid_epoch_after_epoch_zero(tmp_path, monkeypatch):
     # global-index comparison would skip all of epoch 1 and write nothing
     _, _, _, meta2 = load_checkpoint(opts2.ckpt_dir, "latest")
     assert meta2 == {"epoch": 1, "iter": 16}, meta2
+
+
+@pytest.mark.slow
+def test_orbax_backend_train_and_resume(tmp_path, monkeypatch):
+    """--ckpt_backend orbax end-to-end: train saves pruned orbax steps
+    (save_freq multiples + newest), resume restores params/opt/epoch/iter
+    from the latest step and continues to the right final iteration."""
+    import glob
+
+    from ffrnet_tpu.config import Options
+    from ffrnet_tpu.train import train
+
+    pytest.importorskip("orbax.checkpoint")
+    monkeypatch.chdir(tmp_path)
+
+    def make_opts(extra=None):
+        kw = dict(phase="train", train_data="synthetic", num_classes=16,
+                  batch_size=8, total_epochs=1, optimizer="adam", lr=1e-3,
+                  save_freq=4, print_freq=1000, eval_freq=0, n_thread=2,
+                  seed=0, ckpt_backend="orbax",
+                  weight_root=str(tmp_path / "w"))
+        kw.update(extra or {})
+        return Options(**kw).finalize()
+
+    train(make_opts())  # 64 samples / batch 8 = 8 steps
+    ck_dir = make_opts().ckpt_dir
+    steps = sorted(glob.glob(ck_dir + "/orbax_*"))
+    step_ids = [int(s.split("_")[-1]) for s in steps]
+    assert 8 in step_ids and 4 in step_ids          # save_freq multiples
+    assert all(s % 4 == 0 or s >= 7 for s in step_ids), step_ids  # pruned
+
+    # resume for one more epoch from the latest orbax step
+    train(make_opts({"continue_train": 1, "total_epochs": 2}))
+    step_ids = [int(s.split("_")[-1])
+                for s in glob.glob(ck_dir + "/orbax_*")]
+    assert max(step_ids) == 16, step_ids
