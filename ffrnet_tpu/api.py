@@ -122,7 +122,12 @@ class FFRNet:
         # accepts fp32/uint8-scaled hosts arrays; cast host-side = half the
         # upload bytes for bf16)
         compute_dtype = self.enc_params["input"]["conv"]["w"].dtype
-        images = jnp.asarray(images, dtype=compute_dtype)
+        if getattr(images, "dtype", None) == jnp.uint8:
+            # raw uint8 pixels: upload as-is (4x fewer bytes than fp32)
+            # and normalize to [-1, 1] on device inside _embed_impl
+            images = jnp.asarray(images)
+        else:
+            images = jnp.asarray(images, dtype=compute_dtype)
         if self.batch_sharding is not None:
             n = images.shape[0]
             n_data = self.batch_sharding.mesh.shape["data"]
@@ -167,6 +172,15 @@ class FFRNet:
             raise ValueError(
                 f"verify() needs the same number of images on each side, "
                 f"got {n} vs {np.shape(img2)[0]}")
+        # mixed uint8/float sides would concatenate into 0..255 floats;
+        # normalize the uint8 side host-side so both speak [-1, 1]
+        d1 = np.result_type(getattr(img1, "dtype", np.float32))
+        d2 = np.result_type(getattr(img2, "dtype", np.float32))
+        if d1 != d2 and np.uint8 in (d1.type, d2.type):
+            if d1.type is np.uint8:
+                img1 = (np.asarray(img1, np.float32) / 255.0 - 0.5) / 0.5
+            else:
+                img2 = (np.asarray(img2, np.float32) / 255.0 - 0.5) / 0.5
         if isinstance(img1, jax.Array) or isinstance(img2, jax.Array):
             both = jnp.concatenate([jnp.asarray(img1), jnp.asarray(img2)],
                                    axis=0)
@@ -231,6 +245,11 @@ class FFRNet:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _embed_impl(enc_params, enc_state, rec_params, rec_state, images, *, cfg):
+    if images.dtype == jnp.uint8:  # normalize-on-device upload path
+        from ffrnet_tpu.ops.nn import images_to_unit_range
+
+        images = images_to_unit_range(images).astype(
+            enc_params["input"]["conv"]["w"].dtype)
     featmap, raw, _ = irse.apply(enc_params, enc_state, images, training=False)
     (rect, rect_map), _ = recnet.apply(rec_params, rec_state, featmap,
                                        cfg=cfg, training=False)

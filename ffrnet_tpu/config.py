@@ -56,6 +56,11 @@ class Options:
     weight_decay: float = 5e-4
     momentum: float = 0.9
     nesterov: int = 0
+    # Where image batches are normalized to [-1, 1]: 0 (default) ships
+    # uint8 pixels and normalizes on device (identical values, 4x fewer
+    # host->device bytes — the measured driver bottleneck on relayed
+    # hosts); 1 = reference-style float32 host normalization.
+    host_normalize: int = 0
     # train
     seed: int = 123
     n_thread: int = 8
@@ -153,6 +158,8 @@ def parse_args(argv: Optional[List[str]] = None, *, make_dirs: bool = True) -> O
                    default=defaults.faithful_ce_weight)
     p.add_argument("--faithful_eval_flip", type=int,
                    default=defaults.faithful_eval_flip)
+    p.add_argument("--host_normalize", type=int,
+                   default=defaults.host_normalize)
     p.add_argument("--optimizer", type=str, default=defaults.optimizer)
     p.add_argument("--lr", type=float, default=defaults.lr)
     p.add_argument("--beta1", type=float, default=defaults.beta1)

@@ -101,6 +101,15 @@ def _to_unit(arr_u8: np.ndarray) -> np.ndarray:
     return (arr_u8.astype(np.float32) / 255.0 - 0.5) / 0.5
 
 
+def _finish(arr_u8: np.ndarray, host_normalize: bool) -> np.ndarray:
+    """host_normalize=True: the reference's float32 [-1,1] sample.
+    False: ship the uint8 pixels and let the accelerator normalize
+    (ops.nn.images_to_unit_range — same math, 4x fewer upload bytes)."""
+    if host_normalize:
+        return _to_unit(arr_u8)
+    return np.ascontiguousarray(arr_u8)
+
+
 def _native_ready(use_native) -> bool:
     """Resolve a use_native tri-state ('auto'/True/False) against the
     availability of the C++ host library."""
@@ -114,10 +123,11 @@ def _native_ready(use_native) -> bool:
     return ok
 
 
-def _load_pair_native(path1: str, path2: str, flip: bool):
-    """Decode+prep a JPEG pair through the C++ library (BGR, [-1,1],
-    paired flip, bicubic resize; PIL-equivalent within ~2 pixel LSB on
-    resized inputs, bit-exact on 112x112 inputs)."""
+def _load_pair_native(path1: str, path2: str, flip: bool,
+                      host_normalize: bool = True):
+    """Decode+prep a JPEG pair through the C++ library (BGR, [-1,1] float
+    or quantized uint8, paired flip, bicubic resize; PIL-equivalent within
+    ~2 pixel LSB on resized inputs, bit-exact on 112x112 inputs)."""
     from ffrnet_tpu.data import native
 
     with open(path1, "rb") as f:
@@ -125,7 +135,8 @@ def _load_pair_native(path1: str, path2: str, flip: bool):
     with open(path2, "rb") as f:
         b2 = f.read()
     out = native.decode_prep_batch([b1, b2], IMG_SIZE[::-1], bgr=True,
-                                   flips=[flip, flip], strict=True)
+                                   flips=[flip, flip], strict=True,
+                                   out_u8=not host_normalize)
     return out[0], out[1]
 
 
@@ -141,6 +152,7 @@ class CasiaPairs:
     flip_prob: float = 0.5
     num_classes: int = 10575
     use_native: object = "auto"  # True | False | 'auto' (C++ decode path)
+    host_normalize: bool = True  # False = uint8 samples, device normalize
 
     def __post_init__(self):
         self.items: List[Tuple[str, int]] = []
@@ -180,7 +192,8 @@ class CasiaPairs:
         p2 = os.path.join(self.data_root, twin)
         if self._native:
             try:
-                img_f, mask_f = _load_pair_native(p1, p2, flip)
+                img_f, mask_f = _load_pair_native(
+                    p1, p2, flip, host_normalize=self.host_normalize)
                 return {"img_non": img_f, "img_ocl": mask_f,
                         "label": np.int32(label)}
             except RuntimeError:
@@ -191,8 +204,8 @@ class CasiaPairs:
             img = img[:, ::-1]
             mask = mask[:, ::-1]
         return {
-            "img_non": _to_unit(img),
-            "img_ocl": _to_unit(mask),
+            "img_non": _finish(img, self.host_normalize),
+            "img_ocl": _finish(mask, self.host_normalize),
             "label": np.int32(label),
         }
 
@@ -206,6 +219,7 @@ class LfwPairs:
     pairs_list: str
     test_ocl_num: int = 0
     flip_prob: float = 0.5  # the reference flips eval pairs too
+    host_normalize: bool = True  # False = uint8 samples, device normalize
 
     def __post_init__(self):
         self.pair_names, self.labels = parse_pairs_txt(self.pairs_list)
@@ -236,8 +250,8 @@ class LfwPairs:
             img1 = img1[:, ::-1]
             img2 = img2[:, ::-1]
         return {
-            "img1": _to_unit(img1),
-            "img2": _to_unit(img2),
+            "img1": _finish(img1, self.host_normalize),
+            "img2": _finish(img2, self.host_normalize),
             "label": np.int32(self.labels[idx]),
             "idx": np.int32(idx),
         }
@@ -259,6 +273,7 @@ class MaskVerificationPairs:
     pair_txt: str = "masked_pairs_new_v4.txt"
     flip_prob: float = 0.5
     bgr: bool = False  # False = faithful reference RGB behavior
+    host_normalize: bool = True  # False = uint8 samples, device normalize
 
     def __post_init__(self):
         self.pair_names: List[Tuple[str, str]] = []
@@ -283,8 +298,8 @@ class MaskVerificationPairs:
             img1 = img1[:, ::-1]
             img2 = img2[:, ::-1]
         return {
-            "img1": _to_unit(img1),
-            "img2": _to_unit(img2),
+            "img1": _finish(img1, self.host_normalize),
+            "img2": _finish(img2, self.host_normalize),
             "label": np.int32(self.labels[idx]),
             "idx": np.int32(idx),
         }
@@ -317,6 +332,7 @@ class SyntheticPairs:
     num_identities: int = 16
     samples_per_id: int = 4
     seed: int = 0
+    host_normalize: bool = True  # False = quantized uint8 samples
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
@@ -332,4 +348,9 @@ class SyntheticPairs:
             (112, 112, 3)).astype(np.float32)
         mask = img.copy()
         mask[60:100, 20:92] = -1.0
+        if not self.host_normalize:
+            def q(x):  # quantize to the uint8 pixel grid (bench/driver path)
+                return np.clip((x * 0.5 + 0.5) * 255.0, 0, 255).round() \
+                    .astype(np.uint8)
+            img, mask = q(img), q(mask)
         return {"img_non": img, "img_ocl": mask, "label": np.int32(label)}

@@ -62,6 +62,21 @@ def _load():
             ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t),
             ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_char_p]
+        try:  # v2 uint8-output twins (normalize-on-device upload path)
+            lib.ffrnet_prep_batch_u8.restype = ctypes.c_int
+            lib.ffrnet_prep_batch_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_char_p]
+            lib.ffrnet_decode_prep_batch_u8.restype = ctypes.c_int
+            lib.ffrnet_decode_prep_batch_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_char_p]
+        except AttributeError:  # stale v1 .so
+            pass
         _lib = lib
         return _lib
 
@@ -70,10 +85,20 @@ def is_available() -> bool:
     return _load() is not None
 
 
+def has_u8() -> bool:
+    """True when the loaded library exposes the v2 uint8-output entry
+    points (normalize-on-device upload path)."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "ffrnet_prep_batch_u8")
+
+
 def prep_batch(images: Sequence[np.ndarray], out_hw=(112, 112), *,
                bgr: bool = True,
-               flips: Optional[Sequence[bool]] = None) -> np.ndarray:
-    """uint8 RGB HWC images (any sizes) -> float32 NHWC batch in [-1, 1]."""
+               flips: Optional[Sequence[bool]] = None,
+               out_u8: bool = False) -> np.ndarray:
+    """uint8 RGB HWC images (any sizes) -> NHWC batch: float32 in [-1, 1],
+    or the quantized uint8 pixels with out_u8=True (normalize on device —
+    same values after (x/255 - 0.5)/0.5)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native host library unavailable")
@@ -90,12 +115,22 @@ def prep_batch(images: Sequence[np.ndarray], out_hw=(112, 112), *,
         *[img.ctypes.data_as(ctypes.c_void_p).value for img in images])
     hs = (ctypes.c_int * n)(*[img.shape[0] for img in images])
     ws = (ctypes.c_int * n)(*[img.shape[1] for img in images])
-    out = np.empty((n, oh, ow, 3), np.float32)
     flip_buf = bytes(bytearray(
         [1 if (flips is not None and flips[i]) else 0 for i in range(n)]))
-    rc = lib.ffrnet_prep_batch(
-        ptrs, hs, ws, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        oh, ow, 1 if bgr else 0, flip_buf)
+    if out_u8:
+        if not has_u8():
+            raise RuntimeError("native library lacks the uint8 entry points")
+        out = np.empty((n, oh, ow, 3), np.uint8)
+        rc = lib.ffrnet_prep_batch_u8(
+            ptrs, hs, ws, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            oh, ow, 1 if bgr else 0, flip_buf)
+    else:
+        out = np.empty((n, oh, ow, 3), np.float32)
+        rc = lib.ffrnet_prep_batch(
+            ptrs, hs, ws, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            oh, ow, 1 if bgr else 0, flip_buf)
     if rc != 0:
         raise RuntimeError(f"ffrnet_prep_batch failed: {rc}")
     return out
@@ -104,8 +139,10 @@ def prep_batch(images: Sequence[np.ndarray], out_hw=(112, 112), *,
 def decode_prep_batch(jpeg_buffers: Sequence[bytes], out_hw=(112, 112), *,
                       bgr: bool = True,
                       flips: Optional[Sequence[bool]] = None,
-                      strict: bool = False) -> np.ndarray:
-    """Raw JPEG buffers -> float32 NHWC batch in [-1, 1]. Failed decodes
+                      strict: bool = False,
+                      out_u8: bool = False) -> np.ndarray:
+    """Raw JPEG buffers -> NHWC batch: float32 in [-1, 1], or quantized
+    uint8 pixels with out_u8=True (normalize on device). Failed decodes
     come back as zero images; strict=True raises on ANY failure (default
     raises only when every decode fails)."""
     lib = _load()
@@ -117,12 +154,21 @@ def decode_prep_batch(jpeg_buffers: Sequence[bytes], out_hw=(112, 112), *,
     ptrs = (ctypes.c_void_p * n)(
         *[b.ctypes.data_as(ctypes.c_void_p).value for b in bufs])
     lens = (ctypes.c_size_t * n)(*[len(b) for b in bufs])
-    out = np.empty((n, oh, ow, 3), np.float32)
     flip_buf = bytes(bytearray(
         [1 if (flips is not None and flips[i]) else 0 for i in range(n)]))
-    failures = lib.ffrnet_decode_prep_batch(
-        ptrs, lens, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        oh, ow, 1 if bgr else 0, flip_buf)
+    if out_u8:
+        if not has_u8():
+            raise RuntimeError("native library lacks the uint8 entry points")
+        out = np.empty((n, oh, ow, 3), np.uint8)
+        failures = lib.ffrnet_decode_prep_batch_u8(
+            ptrs, lens, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            oh, ow, 1 if bgr else 0, flip_buf)
+    else:
+        out = np.empty((n, oh, ow, 3), np.float32)
+        failures = lib.ffrnet_decode_prep_batch(
+            ptrs, lens, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            oh, ow, 1 if bgr else 0, flip_buf)
     if failures and (strict or failures == n) and n > 0:
         raise RuntimeError(f"{failures}/{n} JPEG decodes failed")
     return out

@@ -10,8 +10,10 @@ pin_memory, data/dataloader.py:33) with a TPU-idiomatic loader:
     number of steps (shards are truncated to equal length so collective
     steps never desynchronize)
   * a thread pool decodes/augments samples concurrently within each batch
-  * a prefetch queue overlaps host IO with device compute; single-process
-    batches are jax.device_put with the caller's sharding
+  * a prefetch queue overlaps host IO AND the host->device upload with
+    device compute: device placement (jax.device_put with the caller's
+    sharding) runs in the producer thread, so the next batch streams up
+    while the current step executes
 
 Seeding: one numpy Generator per (epoch, sample) derived from the global
 seed, so augmentation is reproducible and independent of worker timing
@@ -72,6 +74,7 @@ class BatchLoader:
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
         sharding=None,
+        upload_in_producer: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -81,6 +84,7 @@ class BatchLoader:
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.sharding = sharding
+        self.upload_in_producer = upload_in_producer
         if (process_index is None) != (process_count is None):
             raise ValueError("pass process_index and process_count together "
                              "(or neither, to use jax.process_*)")
@@ -161,10 +165,22 @@ class BatchLoader:
                     continue
             return False
 
+        up_in_prod = self.upload_in_producer
+
         def producer():
             try:
                 for b in range(n_batches):
-                    if not put_or_stop(make_batch(b)):
+                    # device placement happens HERE, in the producer thread
+                    # (default): through a relayed/remote device the put
+                    # blocks on the transfer, so doing it inline with the
+                    # consumer would serialize upload behind compute. In the
+                    # producer the next batch's upload overlaps the current
+                    # step, and the queue holds up to `prefetch` batches
+                    # already on device.
+                    batch = make_batch(b)
+                    if up_in_prod:
+                        batch = self._to_device(batch)
+                    if not put_or_stop(batch):
                         return
                 put_or_stop(None)
             except BaseException as e:  # propagate decode errors
@@ -181,7 +197,7 @@ class BatchLoader:
                     return
                 if isinstance(batch, BaseException):
                     raise batch
-                yield self._to_device(batch)
+                yield batch if up_in_prod else self._to_device(batch)
         finally:
             stop.set()
             # drain so a blocked producer put() wakes and exits

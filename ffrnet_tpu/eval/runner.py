@@ -29,7 +29,12 @@ def make_pair_score_fn(cfg: RecNetConfig, *, num_layers: int = 50,
     @partial(jax.jit, static_argnames=())
     def score(enc_params, enc_state, rec_params, rec_state, img1, img2):
         # single 2N pass through encoder+recnet (both in inference mode —
-        # identical numerics, half the dispatches)
+        # identical numerics, half the dispatches). uint8 batches
+        # (host_normalize=0 loaders) normalize on device.
+        from ffrnet_tpu.ops.nn import images_to_unit_range
+
+        img1 = images_to_unit_range(img1)
+        img2 = images_to_unit_range(img2)
         n = img1.shape[0]
         both = jnp.concatenate([img1, img2], axis=0)
         fm, f, _ = irse.apply(enc_params, enc_state, both,
@@ -189,8 +194,11 @@ def save_wrong_images(dataset, wrong_idx, out_dir: str) -> int:
     for i in np.asarray(wrong_idx).ravel():
         sample = dataset.get(int(i), rng)
         for key, suffix in (("img1", "_1"), ("img2", "_2")):
-            bgr = np.clip(sample[key] * 0.5 + 0.5, 0.0, 1.0)
-            rgb = (bgr[:, :, ::-1] * 255.0).round().astype(np.uint8)
+            if sample[key].dtype == np.uint8:  # host_normalize=0 dataset
+                rgb = sample[key][:, :, ::-1]
+            else:
+                bgr = np.clip(sample[key] * 0.5 + 0.5, 0.0, 1.0)
+                rgb = (bgr[:, :, ::-1] * 255.0).round().astype(np.uint8)
             Image.fromarray(rgb).save(
                 os.path.join(out_dir, f"{int(i):04d}{suffix}.png"))
             written += 1

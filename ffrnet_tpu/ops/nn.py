@@ -263,6 +263,21 @@ def tree_cast_floats(tree, dtype):
         if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
 
 
+def images_to_unit_range(x):
+    """Device-side ToTensor+Normalize(0.5, 0.5): uint8 NHWC -> float32 in
+    [-1, 1], the same IEEE ops as the host loader's _to_unit
+    (data/datasets.py): bitwise-identical when dispatched eagerly; under
+    jit, XLA may fuse the two divides into one multiply, shifting pixel
+    values by at most 1 ulp (~6e-8) — far below every tolerance in the
+    pipeline. Float inputs (already normalized on host) pass through
+    unchanged — callers can accept either layout; shipping uint8 moves 4x
+    fewer bytes host->device (the measured train-driver bottleneck on
+    relayed hosts). Reference transform: data/dataloader.py:15-19."""
+    if x.dtype == jnp.uint8:
+        return (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+    return x
+
+
 def upsample_nearest_2x(x):
     """F.interpolate(scale_factor=2, mode='nearest') on NHWC."""
     n, h, w, c = x.shape

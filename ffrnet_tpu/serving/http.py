@@ -12,6 +12,10 @@ Endpoints:
                   (N inferred from content length)
                   -> 200, body = float32 LE bytes of (2, N, 512):
                      [raw_embedding, rectified_embedding]
+                  All face-body endpoints also accept raw uint8 pixels
+                  (0..255 BGR, 4x smaller requests) with header
+                  X-Input-Dtype: uint8; the server applies the standard
+                  (x/255 - 0.5)/0.5 normalization before batching.
   POST /verify    body = float32 LE bytes of (2*N, 112, 112, 3) — first N =
                   img1, last N = img2 -> float32 LE bytes of (N,) cosine
                   scores (rectified embeddings)
@@ -49,7 +53,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 FACE_SHAPE = (112, 112, 3)
-_FACE_BYTES = int(np.prod(FACE_SHAPE)) * 4
+_FACE_PIXELS = int(np.prod(FACE_SHAPE))
+_FACE_BYTES = _FACE_PIXELS * 4
 
 
 def _scatter_rows(g, emb, off):
@@ -118,8 +123,15 @@ class EmbeddingHTTPServer:
                     self._reply(404, b"not found", "text/plain")
 
             def _read_faces(self) -> Optional[np.ndarray]:
+                dtype = self.headers.get("X-Input-Dtype", "float32").lower()
+                if dtype not in ("float32", "uint8"):
+                    self.close_connection = True
+                    self._reply(400, b"X-Input-Dtype must be float32 or "
+                                b"uint8", "text/plain")
+                    return None
+                face_bytes = _FACE_PIXELS if dtype == "uint8" else _FACE_BYTES
                 n_bytes = int(self.headers.get("Content-Length", 0))
-                limit = outer._max_request_faces * _FACE_BYTES
+                limit = outer._max_request_faces * face_bytes
                 if n_bytes > limit:
                     # refuse BEFORE reading: draining a multi-GB body would
                     # be the memory exhaustion this cap exists to prevent
@@ -130,7 +142,7 @@ class EmbeddingHTTPServer:
                         f"{outer._max_request_faces} faces "
                         f"({limit} bytes)".encode(), "text/plain")
                     return None
-                if n_bytes <= 0 or n_bytes % _FACE_BYTES:
+                if n_bytes <= 0 or n_bytes % face_bytes:
                     # drain the declared body first: leaving it unread would
                     # desync the next request on a keep-alive connection
                     remaining = n_bytes
@@ -139,11 +151,16 @@ class EmbeddingHTTPServer:
                         if not chunk:
                             break
                         remaining -= len(chunk)
-                    self._reply(400, b"body must be float32 LE (N,112,112,3)",
-                                "text/plain")
+                    self._reply(400, b"body must be %s LE (N,112,112,3)"
+                                % dtype.encode(), "text/plain")
                     return None
                 raw = self.rfile.read(n_bytes)
-                n = n_bytes // _FACE_BYTES
+                n = n_bytes // face_bytes
+                if dtype == "uint8":
+                    u8 = np.frombuffer(raw, np.uint8).reshape(
+                        (n,) + FACE_SHAPE)
+                    # standard host normalization (data/datasets._to_unit)
+                    return (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
                 return np.frombuffer(raw, "<f4").reshape((n,) + FACE_SHAPE)
 
             def _embed_chunked(self, faces):

@@ -103,20 +103,23 @@ def load_encoder(opts: Options):
 
 
 def make_train_dataset(opts: Options):
+    host_norm = bool(opts.host_normalize)
     if opts.train_data in ("", "synthetic"):
         print("[warn] no --train_data given — synthetic identity dataset",
               file=sys.stderr)
-        return SyntheticPairs(num_identities=min(opts.num_classes, 64))
+        return SyntheticPairs(num_identities=min(opts.num_classes, 64),
+                              host_normalize=host_norm)
     img_list = opts.train_img_list or os.path.join(
         os.path.dirname(opts.train_data), "test", "casia_cleanlist.txt")
-    return CasiaPairs(opts.train_data, img_list)
+    return CasiaPairs(opts.train_data, img_list, host_normalize=host_norm)
 
 
 def make_eval_batches(opts: Options, ocl_num: int, batch_size: int):
     # flip_prob=0 pins eval determinism; the reference's random eval-time
     # flip (data/dataset.py:148-151) is opt-in via --faithful_eval_flip 1.
     ds = LfwPairs(opts.test_data, opts.test_pair_list, test_ocl_num=ocl_num,
-                  flip_prob=0.5 if opts.faithful_eval_flip else 0.0)
+                  flip_prob=0.5 if opts.faithful_eval_flip else 0.0,
+                  host_normalize=bool(opts.host_normalize))
     n_pairs = len(ds)
     if jax.process_count() > 1:
         # contiguous per-process slice; the multiprocess runner all-gathers

@@ -102,7 +102,7 @@ def encode_frozen(encoder_params, encoder_state, batch, *,
     every later epoch a RecNet-only step at roughly a third of the FLOPs —
     see train_step_from_features.
     """
-    from ffrnet_tpu.ops.nn import tree_cast_floats
+    from ffrnet_tpu.ops.nn import images_to_unit_range, tree_cast_floats
 
     half = _half_dtype(compute_dtype)
 
@@ -111,8 +111,11 @@ def encode_frozen(encoder_params, encoder_state, batch, *,
 
     enc_p, enc_s = cast(encoder_params), cast(encoder_state)
     n = batch["img_non"].shape[0]
+    # uint8 batches (host_normalize=0 loaders) normalize on device here —
+    # same values as the host transform, 4x fewer upload bytes
     both = jnp.concatenate(
-        [cast(batch["img_non"]), cast(batch["img_ocl"])], axis=0)
+        [cast(images_to_unit_range(batch["img_non"])),
+         cast(images_to_unit_range(batch["img_ocl"]))], axis=0)
     featmap_both, embed_both, _ = irse.apply(enc_p, enc_s, both,
                                              training=False)
     return {

@@ -290,6 +290,45 @@ def test_http_enroll_identify(model):
 
 
 @pytest.mark.slow
+def test_http_uint8_body(model):
+    """X-Input-Dtype: uint8 bodies (4x smaller) match the float32 path."""
+    import urllib.error
+    import urllib.request
+
+    from ffrnet_tpu.serving import EmbeddingHTTPServer
+
+    rng = np.random.default_rng(31)
+    u8 = rng.integers(0, 256, (4, 112, 112, 3), dtype=np.uint8)
+    xf = (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+    svc = EmbeddingService(model, max_batch=8, max_delay_s=0.0)
+    with EmbeddingHTTPServer(svc) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def post(path, body, headers):
+            return urllib.request.urlopen(urllib.request.Request(
+                base + path, data=body, method="POST",
+                headers=headers)).read()
+
+        out_f = post("/embed", np.ascontiguousarray(xf, "<f4").tobytes(), {})
+        out_u = post("/embed", u8.tobytes(), {"X-Input-Dtype": "uint8"})
+        ef = np.frombuffer(out_f, "<f4").reshape(2, 4, 512)
+        eu = np.frombuffer(out_u, "<f4").reshape(2, 4, 512)
+        np.testing.assert_allclose(eu, ef, atol=1e-5, rtol=1e-5)
+        # wrong payload size for the declared dtype -> 400
+        try:
+            post("/embed", u8.tobytes()[:-1], {"X-Input-Dtype": "uint8"})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # unknown dtype -> 400
+        try:
+            post("/embed", u8.tobytes(), {"X-Input-Dtype": "int16"})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    svc.close()
+
+
 def test_bench_serving_tool_smoke(capsys):
     from ffrnet_tpu.tools import bench_serving
 
