@@ -115,11 +115,20 @@ class EmbeddingService:
     def submit(self, faces) -> Future:
         """Enqueue one face or one (k, H, W, 3) group; returns a Future.
 
-        The input is COPIED: np.asarray would alias an already-float32
-        contiguous caller buffer, and a caller mutating/reusing it before
-        the collector dispatches would corrupt the whole co-batched group.
+        uint8 inputs are raw 0..255 pixels and get the standard
+        (x/255 - 0.5)/0.5 normalization here (matching api.embed and the
+        HTTP front's X-Input-Dtype: uint8); float inputs must already be
+        in [-1, 1]. The input is COPIED either way: np.asarray would
+        alias an already-float32 contiguous caller buffer, and a caller
+        mutating/reusing it before the collector dispatches would corrupt
+        the whole co-batched group.
         """
-        arr = np.array(faces, dtype=np.float32, copy=True)
+        peek = np.asarray(faces)
+        if peek.dtype == np.uint8:
+            # the arithmetic allocates a fresh float buffer — already a copy
+            arr = (peek.astype(np.float32) / 255.0 - 0.5) / 0.5
+        else:
+            arr = np.array(faces, dtype=np.float32, copy=True)
         if arr.ndim == 3:
             arr = arr[None]
         h, w = self._input_hw

@@ -290,6 +290,21 @@ def test_http_enroll_identify(model):
 
 
 @pytest.mark.slow
+def test_service_submit_uint8(model):
+    """submit() normalizes uint8 pixels instead of casting 0..255 floats."""
+    rng = np.random.default_rng(29)
+    u8 = rng.integers(0, 256, (3, 112, 112, 3), dtype=np.uint8)
+    xf = (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+    svc = EmbeddingService(model, max_batch=8, max_delay_s=0.0)
+    try:
+        raw_u, rect_u = svc.submit(u8).result(timeout=60)
+        raw_f, rect_f = svc.submit(xf).result(timeout=60)
+        np.testing.assert_allclose(np.asarray(rect_u), np.asarray(rect_f),
+                                   atol=1e-5, rtol=1e-5)
+    finally:
+        svc.close()
+
+
 def test_http_uint8_body(model):
     """X-Input-Dtype: uint8 bodies (4x smaller) match the float32 path."""
     import urllib.error
