@@ -136,10 +136,20 @@ class BatchLoader:
             }
         return jax.device_put(batch, self.sharding)
 
-    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
-        """Yield batches for one epoch (optionally device_put + sharded)."""
+    def epoch(self, epoch: int = 0,
+              start_batch: int = 0) -> Iterator[Dict[str, Any]]:
+        """Yield batches for one epoch (optionally device_put + sharded).
+
+        start_batch: skip the first batches WITHOUT decoding or uploading
+        them (resume fast-forward; the per-(epoch, sample) RNG keeps
+        augmentation identical to a full-epoch iteration, so batch k is
+        bitwise the same whether or not 0..k-1 were produced).
+        """
         indices = self._epoch_indices(epoch)
         n_batches = len(self)
+        if not 0 <= start_batch <= n_batches:
+            raise ValueError(
+                f"start_batch {start_batch} out of range [0, {n_batches}]")
 
         pool = ThreadPoolExecutor(max_workers=self.num_threads)
 
@@ -169,7 +179,7 @@ class BatchLoader:
 
         def producer():
             try:
-                for b in range(n_batches):
+                for b in range(start_batch, n_batches):
                     # device placement happens HERE, in the producer thread
                     # (default): through a relayed/remote device the put
                     # blocks on the transfer, so doing it inline with the

@@ -228,8 +228,38 @@ def train(opts: Options) -> None:
 
     mesh = make_mesh(n_data=opts.mesh_data or None, n_model=opts.mesh_model)
     validate_batch_for_mesh(mesh, opts.batch_size)
-    step, (enc_params, enc_state, state) = make_distributed_step(
-        mesh, cfg, enc_params, enc_state, state)
+    if opts.cache_features:
+        # Feature-cached mode: encode every (sample, flip) through the
+        # frozen encoder ONCE, then train RecNet-only steps from the cache
+        # (training/feature_cache.py). The reference re-runs the frozen
+        # encoder every step (models/trainer.py:139-146).
+        import dataclasses as _dc
+
+        from ffrnet_tpu.training.feature_cache import (
+            CachedFeatureDataset, build_feature_cache)
+        from ffrnet_tpu.training.trainer import (
+            FEATURE_KEYS, make_distributed_feature_step)
+
+        cache_dir = opts.feature_cache_dir or os.path.join(
+            opts.ckpt_dir, "feature_cache")
+        flip_prob = getattr(dataset, "flip_prob", 0.0)
+        flipfree = (_dc.replace(dataset, flip_prob=0.0)
+                    if flip_prob else dataset)
+        build_feature_cache(flipfree, enc_params, enc_state, cache_dir,
+                            batch_size=opts.batch_size,
+                            compute_dtype=cfg.compute_dtype,
+                            num_threads=opts.n_thread)
+        dataset = CachedFeatureDataset(cache_dir, flip_prob=flip_prob)
+        fstep, state = make_distributed_feature_step(mesh, cfg, state)
+
+        def step(_enc_p, _enc_s, st, batch):
+            return fstep(st, batch)
+
+        batch_keys = list(FEATURE_KEYS)
+    else:
+        step, (enc_params, enc_state, state) = make_distributed_step(
+            mesh, cfg, enc_params, enc_state, state)
+        batch_keys = ["img_non", "img_ocl", "label"]
     bshard = batch_sharding(mesh)
 
     last_orbax_step = [-1]
@@ -260,8 +290,7 @@ def train(opts: Options) -> None:
     loader = BatchLoader(dataset, opts.batch_size, shuffle=not opts.debug,
                          drop_last=not opts.debug, seed=opts.seed,
                          num_threads=opts.n_thread,
-                         sharding={"img_non": bshard, "img_ocl": bshard,
-                                   "label": bshard})
+                         sharding={k: bshard for k in batch_keys})
 
     logger.record_text("model_config", opts.config_string)
     cur_iters = start_iter
@@ -306,14 +335,16 @@ def train(opts: Options) -> None:
     # per-epoch index i against the GLOBAL count (train.py:42), which for
     # any resume epoch >= 1 skips the ENTIRE epoch — silently dropping up
     # to len(loader) training batches. Fixed here (PARITY.md "Deliberate
-    # behavior differences").
+    # behavior differences"). The skip happens inside the loader
+    # (epoch(start_batch=...)): skipped batches are never decoded or
+    # uploaded, and the per-(epoch, sample) RNG keeps the remaining
+    # batches bitwise identical to an unskipped epoch.
     skip_in_epoch = min(max(start_iter - start_epoch * len(loader), 0),
                         len(loader))
 
     for epoch in range(start_epoch, opts.total_epochs):
-        for i, batch in enumerate(loader.epoch(epoch)):
-            if epoch == start_epoch and i < skip_in_epoch:
-                continue
+        start_b = skip_in_epoch if epoch == start_epoch else 0
+        for batch in loader.epoch(epoch, start_batch=start_b):
             cur_iters += 1
             timer.update_time("DataTime")
 

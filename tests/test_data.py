@@ -237,6 +237,31 @@ def test_batch_loader_equal_steps_across_hosts():
         set(map(tuple, b1[0]["img_non"].reshape(2, -1)[:, :4]))
 
 
+def test_batch_loader_start_batch_skips_without_decoding():
+    """epoch(start_batch=k) yields exactly batches [k:], bitwise equal to a
+    full iteration (per-(epoch,sample) RNG), and never touches the skipped
+    samples (resume fast-forward must not decode/upload them)."""
+    touched = []
+
+    class Tracking(SyntheticPairs):
+        def get(self, idx, rng):
+            touched.append(idx)
+            return super().get(idx, rng)
+
+    ds = Tracking(num_identities=8, samples_per_id=4)
+    full = list(BatchLoader(ds, 4, shuffle=True, seed=5).epoch(1))
+    touched.clear()
+    tail = list(BatchLoader(ds, 4, shuffle=True, seed=5).epoch(
+        1, start_batch=3))
+    assert len(tail) == len(full) - 3
+    for a, b in zip(full[3:], tail):
+        np.testing.assert_array_equal(a["img_non"], b["img_non"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+    assert len(touched) == 4 * len(tail)  # skipped samples never decoded
+    with pytest.raises(ValueError):
+        next(iter(BatchLoader(ds, 4).epoch(0, start_batch=99)))
+
+
 def test_batch_loader_abandoned_generator_cleans_up():
     import threading
 
