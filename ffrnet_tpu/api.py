@@ -174,13 +174,20 @@ class FFRNet:
                 f"got {n} vs {np.shape(img2)[0]}")
         # mixed uint8/float sides would concatenate into 0..255 floats;
         # normalize the uint8 side host-side so both speak [-1, 1]
-        d1 = np.result_type(getattr(img1, "dtype", np.float32))
-        d2 = np.result_type(getattr(img2, "dtype", np.float32))
+        def _dt(x):
+            d = getattr(x, "dtype", None)
+            # lists/tuples have no .dtype — resolve via numpy (host data,
+            # cheap); never np.asarray a jax.Array here (device fetch)
+            return np.dtype(d) if d is not None else np.asarray(x).dtype
+
+        d1, d2 = _dt(img1), _dt(img2)
         if d1 != d2 and np.uint8 in (d1.type, d2.type):
+            from ffrnet_tpu.data.datasets import _to_unit
+
             if d1.type is np.uint8:
-                img1 = (np.asarray(img1, np.float32) / 255.0 - 0.5) / 0.5
+                img1 = _to_unit(np.asarray(img1))
             else:
-                img2 = (np.asarray(img2, np.float32) / 255.0 - 0.5) / 0.5
+                img2 = _to_unit(np.asarray(img2))
         if isinstance(img1, jax.Array) or isinstance(img2, jax.Array):
             both = jnp.concatenate([jnp.asarray(img1), jnp.asarray(img2)],
                                    axis=0)

@@ -168,6 +168,19 @@ class CasiaPairs:
                         " file")
                 self.items.append((path, int(label)))
         self._native = _native_ready(self.use_native)
+        if self._native and not self.host_normalize:
+            # a stale v1 library lacks the uint8 entry points; without this
+            # gate every sample would read both JPEGs natively, raise, and
+            # silently re-read them through PIL
+            from ffrnet_tpu.data import native
+
+            if not native.has_u8():
+                import sys
+
+                print("[warn] native library predates uint8 output — "
+                      "rebuild native/ (make -C native); using PIL path",
+                      file=sys.stderr)
+                self._native = False
         self._twin_cache: Dict[str, str] = {}
 
     def __len__(self):

@@ -157,10 +157,10 @@ class EmbeddingHTTPServer:
                 raw = self.rfile.read(n_bytes)
                 n = n_bytes // face_bytes
                 if dtype == "uint8":
-                    u8 = np.frombuffer(raw, np.uint8).reshape(
-                        (n,) + FACE_SHAPE)
-                    # standard host normalization (data/datasets._to_unit)
-                    return (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+                    from ffrnet_tpu.data.datasets import _to_unit
+
+                    return _to_unit(np.frombuffer(raw, np.uint8).reshape(
+                        (n,) + FACE_SHAPE))
                 return np.frombuffer(raw, "<f4").reshape((n,) + FACE_SHAPE)
 
             def _embed_chunked(self, faces):

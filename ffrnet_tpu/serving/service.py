@@ -125,8 +125,9 @@ class EmbeddingService:
         """
         peek = np.asarray(faces)
         if peek.dtype == np.uint8:
-            # the arithmetic allocates a fresh float buffer — already a copy
-            arr = (peek.astype(np.float32) / 255.0 - 0.5) / 0.5
+            from ffrnet_tpu.data.datasets import _to_unit
+
+            arr = _to_unit(peek)  # fresh float buffer — already a copy
         else:
             arr = np.array(faces, dtype=np.float32, copy=True)
         if arr.ndim == 3:

@@ -245,12 +245,51 @@ def train(opts: Options) -> None:
         flip_prob = getattr(dataset, "flip_prob", 0.0)
         flipfree = (_dc.replace(dataset, flip_prob=0.0)
                     if flip_prob else dataset)
-        build_feature_cache(flipfree, enc_params, enc_state, cache_dir,
+        if not isinstance(dataset, CasiaPairs):
+            print("[warn] --cache_features with a non-CasiaPairs dataset: "
+                  "the cache freezes ANY per-epoch augmentation beyond the "
+                  "paired flip (e.g. SyntheticPairs noise is drawn once)",
+                  file=sys.stderr)
+        if jax.process_count() > 1:
+            # one builder per shared cache_dir; others wait for the meta
+            # (written last), then fall back to building locally in case
+            # cache_dir is host-local storage
+            import time as _time
+
+            from jax.experimental import multihost_utils
+
+            if jax.process_index() == 0:
+                build_feature_cache(flipfree, enc_params, enc_state,
+                                    cache_dir, batch_size=opts.batch_size,
+                                    compute_dtype=cfg.compute_dtype,
+                                    num_threads=opts.n_thread)
+            else:
+                deadline = _time.time() + 3600
+                while not os.path.exists(
+                        os.path.join(cache_dir, "meta.json")):
+                    if _time.time() > deadline:  # host-local cache_dir
+                        build_feature_cache(
+                            flipfree, enc_params, enc_state, cache_dir,
                             batch_size=opts.batch_size,
                             compute_dtype=cfg.compute_dtype,
                             num_threads=opts.n_thread)
+                        break
+                    _time.sleep(2.0)
+            multihost_utils.sync_global_devices("ffrnet_feature_cache")
+        else:
+            build_feature_cache(flipfree, enc_params, enc_state, cache_dir,
+                                batch_size=opts.batch_size,
+                                compute_dtype=cfg.compute_dtype,
+                                num_threads=opts.n_thread)
         dataset = CachedFeatureDataset(cache_dir, flip_prob=flip_prob)
         fstep, state = make_distributed_feature_step(mesh, cfg, state)
+        # the encoder is out of the step but still serves every LFW eval:
+        # place it once (host leaves in jitted-call args would re-upload
+        # the full tree per eval batch through a relayed device)
+        from ffrnet_tpu.parallel.mesh import replicated
+
+        enc_params = jax.device_put(enc_params, replicated(mesh))
+        enc_state = jax.device_put(enc_state, replicated(mesh))
 
         def step(_enc_p, _enc_s, st, batch):
             return fstep(st, batch)

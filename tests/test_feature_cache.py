@@ -79,8 +79,10 @@ def test_build_rejects_flipping_dataset(tmp_path, encoder):
                             str(tmp_path / "fc"))
 
 
-def test_build_is_idempotent(tmp_path, encoder):
+def test_build_is_idempotent_but_invalidates_on_change(tmp_path, encoder):
     import os
+
+    import jax
 
     from ffrnet_tpu.training.feature_cache import build_feature_cache
 
@@ -92,6 +94,14 @@ def test_build_is_idempotent(tmp_path, encoder):
     build_feature_cache(DetPairs(n=3, flip_prob=0.0), enc_p, enc_s, d,
                         batch_size=2)  # complete cache: no rewrite
     assert os.path.getmtime(os.path.join(d, "featmap_non_v0.npy")) == t0
+    # DIFFERENT encoder weights -> fingerprint mismatch -> rebuild (a
+    # stale cache silently reused would train against wrong features)
+    enc_p2 = jax.tree.map(lambda x: x * 1.001, enc_p)
+    emb0 = np.array(np.load(os.path.join(d, "embed_non_v0.npy")))
+    build_feature_cache(DetPairs(n=3, flip_prob=0.0), enc_p2, enc_s, d,
+                        batch_size=2)
+    emb1 = np.load(os.path.join(d, "embed_non_v0.npy"))
+    assert not np.array_equal(emb0, emb1)
 
 
 def test_cached_training_matches_raw(tmp_path, encoder):

@@ -289,7 +289,6 @@ def test_http_enroll_identify(model):
     svc2.close()
 
 
-@pytest.mark.slow
 def test_service_submit_uint8(model):
     """submit() normalizes uint8 pixels instead of casting 0..255 floats."""
     rng = np.random.default_rng(29)
@@ -344,6 +343,7 @@ def test_http_uint8_body(model):
     svc.close()
 
 
+@pytest.mark.slow
 def test_bench_serving_tool_smoke(capsys):
     from ffrnet_tpu.tools import bench_serving
 

@@ -168,6 +168,10 @@ def test_api_embed_and_verify_uint8():
     s_mixed = np.asarray(model.verify(u8, other))
     s_float = np.asarray(model.verify(_to_unit(u8), other))
     np.testing.assert_allclose(s_mixed, s_float, atol=1e-6)
+    # a python LIST of uint8 frames has no .dtype — must still be detected
+    # as uint8, not silently concatenated as 0..255 floats
+    s_list = np.asarray(model.verify(list(u8), other))
+    np.testing.assert_allclose(s_list, s_float, atol=1e-6)
 
 
 def test_synthetic_pairs_uint8_mode():
