@@ -64,6 +64,14 @@ class Options:
     # <ckpt_dir>/feature_cache).
     cache_features: int = 0
     feature_cache_dir: str = ""
+    # Pack both image (or feature) streams of each batch into ONE
+    # (N, 2, ...) device buffer; unpacking happens inside the step.
+    # Default OFF: a serialized put-then-fetch microbench favors one
+    # buffer 3.5-6x (per-buffer fixed costs), but in the real loop the
+    # producer-thread uploads already overlap the step and packing
+    # measured ~40% SLOWER (same-session A/B x3, BASELINE.md). Kept as an
+    # option for fabrics where per-buffer costs dominate end-to-end.
+    pack_upload: int = 0
     # Where image batches are normalized to [-1, 1]: 0 (default) ships
     # uint8 pixels and normalizes on device (identical values, 4x fewer
     # host->device bytes — the measured driver bottleneck on relayed
@@ -170,6 +178,7 @@ def parse_args(argv: Optional[List[str]] = None, *, make_dirs: bool = True) -> O
                    default=defaults.host_normalize)
     p.add_argument("--cache_features", type=int,
                    default=defaults.cache_features)
+    p.add_argument("--pack_upload", type=int, default=defaults.pack_upload)
     p.add_argument("--feature_cache_dir", type=str,
                    default=defaults.feature_cache_dir)
     p.add_argument("--optimizer", type=str, default=defaults.optimizer)

@@ -75,7 +75,15 @@ class BatchLoader:
         process_count: Optional[int] = None,
         sharding=None,
         upload_in_producer: bool = True,
+        pack=None,
     ):
+        """pack: {"out_key": ("key_a", "key_b", ...)} — stack those sample
+        keys on a new axis 1 into ONE contiguous array per batch. Through
+        remote-attached devices each device_put buffer pays a fixed cost
+        that can dwarf its bytes (measured 3.5-6x for 3 buffers vs 1 at
+        identical size, BASELINE.md); packing the two image streams halves
+        the buffer count. Axis 1 (not 0) so data-parallel sharding over
+        axis 0 keeps each sample's pair on one device."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -85,6 +93,7 @@ class BatchLoader:
         self.prefetch = prefetch
         self.sharding = sharding
         self.upload_in_producer = upload_in_producer
+        self.pack = dict(pack) if pack else None
         if (process_index is None) != (process_count is None):
             raise ValueError("pass process_index and process_count together "
                              "(or neither, to use jax.process_*)")
@@ -122,7 +131,12 @@ class BatchLoader:
 
     def _assemble(self, samples) -> Dict[str, np.ndarray]:
         keys = samples[0].keys()
-        return {k: np.stack([s[k] for s in samples]) for k in keys}
+        batch = {k: np.stack([s[k] for s in samples]) for k in keys}
+        if self.pack:
+            for out_key, src_keys in self.pack.items():
+                batch[out_key] = np.stack(
+                    [batch.pop(k) for k in src_keys], axis=1)
+        return batch
 
     def _to_device(self, batch: Dict[str, np.ndarray]):
         if self.sharding is None or jax is None:

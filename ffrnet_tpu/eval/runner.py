@@ -44,7 +44,31 @@ def make_pair_score_fn(cfg: RecNetConfig, *, num_layers: int = 50,
         return (pair_cosine(f[:n], f[n:]),
                 pair_cosine(f_new[:n], f_new[n:]))
 
+    @partial(jax.jit, static_argnames=())
+    def score_packed(enc_params, enc_state, rec_params, rec_state, imgs):
+        # packed pair batches: ONE (N, 2, H, W, C) buffer (half the
+        # per-buffer upload cost through remote-attached devices);
+        # unpacked inside the program
+        return score(enc_params, enc_state, rec_params, rec_state,
+                     imgs[:, 0], imgs[:, 1])
+
+    score.packed = score_packed
     return score
+
+
+def _score_batch(score, enc_params, enc_state, rec_params, rec_state, batch):
+    """Dispatch one pair batch through `score`, handling both the packed
+    ('imgs') and two-buffer ('img1'/'img2') layouts; custom score_fns
+    without a .packed variant get host-side unpacking."""
+    if "imgs" in batch:
+        packed = getattr(score, "packed", None)
+        if packed is not None:
+            return packed(enc_params, enc_state, rec_params, rec_state,
+                          batch["imgs"])
+        return score(enc_params, enc_state, rec_params, rec_state,
+                     batch["imgs"][:, 0], batch["imgs"][:, 1])
+    return score(enc_params, enc_state, rec_params, rec_state,
+                 batch["img1"], batch["img2"])
 
 
 def evaluate_pairs(enc_params, enc_state, rec_params, rec_state,
@@ -65,8 +89,8 @@ def evaluate_pairs(enc_params, enc_state, rec_params, rec_state,
     score = score_fn or make_pair_score_fn(cfg)
     raw_chunks, new_chunks, labels = [], [], []
     for batch in batches:
-        s_raw, s_new = score(enc_params, enc_state, rec_params, rec_state,
-                             batch["img1"], batch["img2"])
+        s_raw, s_new = _score_batch(score, enc_params, enc_state,
+                                    rec_params, rec_state, batch)
         raw_chunks.append(s_raw)
         new_chunks.append(s_new)
         labels.append(np.asarray(batch["label"]))
@@ -124,8 +148,8 @@ def evaluate_pairs_multiprocess(enc_params, enc_state, rec_params, rec_state,
     score = score_fn or make_pair_score_fn(cfg)
     raw_chunks, new_chunks, lab_chunks = [], [], []
     for batch in local_batches:
-        s_raw, s_new = score(enc_params, enc_state, rec_params, rec_state,
-                             batch["img1"], batch["img2"])
+        s_raw, s_new = _score_batch(score, enc_params, enc_state,
+                                    rec_params, rec_state, batch)
         raw_chunks.append(np.asarray(s_raw, np.float32))
         new_chunks.append(np.asarray(s_new, np.float32))
         lab_chunks.append(np.asarray(batch["label"]))

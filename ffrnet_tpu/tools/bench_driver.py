@@ -44,6 +44,9 @@ def main(argv=None):
     p.add_argument("--producer_upload", type=int, default=1,
                    help="device_put in the loader's producer thread "
                         "(overlaps upload with the step); 0 = consumer-side")
+    p.add_argument("--pack", type=int, default=1,
+                   help="pack both image streams into ONE (N,2,H,W,C) "
+                        "buffer per batch (halves per-buffer upload costs)")
     args = p.parse_args(argv)
 
     import jax
@@ -71,12 +74,17 @@ def main(argv=None):
     from jax.sharding import SingleDeviceSharding
 
     sharding = SingleDeviceSharding(dev)
+    if args.pack:
+        shard_keys = ("imgs", "label")
+        pack = {"imgs": ("img_non", "img_ocl")}
+    else:
+        shard_keys, pack = ("img_non", "img_ocl", "label"), None
     loader = BatchLoader(ds, args.batch, shuffle=False, drop_last=True,
                          seed=0, num_threads=args.n_thread,
                          process_index=0, process_count=1,
-                         sharding={"img_non": sharding, "img_ocl": sharding,
-                                   "label": sharding},
-                         upload_in_producer=bool(args.producer_upload))
+                         sharding={k: sharding for k in shard_keys},
+                         upload_in_producer=bool(args.producer_upload),
+                         pack=pack)
     step = jax.jit(functools.partial(train_step, cfg=cfg),
                    donate_argnums=(2,) if args.donate else ())
 
@@ -92,7 +100,7 @@ def main(argv=None):
     for _ in range(args.warmup):
         batch = next(it)
         if args.upload_only:
-            jax.block_until_ready(batch["img_non"])
+            jax.block_until_ready(list(batch.values()))
         else:
             state, metrics = step(enc_params, enc_state, state, batch)
     pending = []
@@ -121,6 +129,7 @@ def main(argv=None):
         "dtype": args.dtype,
         "donate": bool(args.donate),
         "producer_upload": bool(args.producer_upload),
+        "pack": bool(args.pack),
     }))
 
 

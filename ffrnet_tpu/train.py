@@ -130,7 +130,9 @@ def make_eval_batches(opts: Options, ocl_num: int, batch_size: int):
         ds = SliceDataset(ds, process_pair_slice(n_pairs))
     loader = BatchLoader(ds, batch_size, shuffle=False, drop_last=False,
                          seed=opts.seed, num_threads=opts.n_thread,
-                         process_index=0, process_count=1)
+                         process_index=0, process_count=1,
+                         pack={"imgs": ("img1", "img2")}
+                         if opts.pack_upload else None)
     return loader.epoch(0), n_pairs
 
 
@@ -282,7 +284,8 @@ def train(opts: Options) -> None:
                                 compute_dtype=cfg.compute_dtype,
                                 num_threads=opts.n_thread)
         dataset = CachedFeatureDataset(cache_dir, flip_prob=flip_prob)
-        fstep, state = make_distributed_feature_step(mesh, cfg, state)
+        fstep, state = make_distributed_feature_step(
+            mesh, cfg, state, packed=bool(opts.pack_upload))
         # the encoder is out of the step but still serves every LFW eval:
         # place it once (host leaves in jitted-call args would re-upload
         # the full tree per eval batch through a relayed device)
@@ -294,11 +297,22 @@ def train(opts: Options) -> None:
         def step(_enc_p, _enc_s, st, batch):
             return fstep(st, batch)
 
-        batch_keys = list(FEATURE_KEYS)
+        if opts.pack_upload:
+            from ffrnet_tpu.training.trainer import (FEATURE_PACK,
+                                                     PACKED_FEATURE_KEYS)
+
+            batch_keys, batch_pack = list(PACKED_FEATURE_KEYS), FEATURE_PACK
+        else:
+            batch_keys, batch_pack = list(FEATURE_KEYS), None
     else:
         step, (enc_params, enc_state, state) = make_distributed_step(
-            mesh, cfg, enc_params, enc_state, state)
-        batch_keys = ["img_non", "img_ocl", "label"]
+            mesh, cfg, enc_params, enc_state, state,
+            packed=bool(opts.pack_upload))
+        if opts.pack_upload:
+            batch_keys = ["imgs", "label"]
+            batch_pack = {"imgs": ("img_non", "img_ocl")}
+        else:
+            batch_keys, batch_pack = ["img_non", "img_ocl", "label"], None
     bshard = batch_sharding(mesh)
 
     last_orbax_step = [-1]
@@ -329,7 +343,8 @@ def train(opts: Options) -> None:
     loader = BatchLoader(dataset, opts.batch_size, shuffle=not opts.debug,
                          drop_last=not opts.debug, seed=opts.seed,
                          num_threads=opts.n_thread,
-                         sharding={k: bshard for k in batch_keys})
+                         sharding={k: bshard for k in batch_keys},
+                         pack=batch_pack)
 
     logger.record_text("model_config", opts.config_string)
     cur_iters = start_iter

@@ -110,12 +110,19 @@ def encode_frozen(encoder_params, encoder_state, batch, *,
         return tree_cast_floats(tree, half)
 
     enc_p, enc_s = cast(encoder_params), cast(encoder_state)
-    n = batch["img_non"].shape[0]
     # uint8 batches (host_normalize=0 loaders) normalize on device here —
-    # same values as the host transform, 4x fewer upload bytes
-    both = jnp.concatenate(
-        [cast(images_to_unit_range(batch["img_non"])),
-         cast(images_to_unit_range(batch["img_ocl"]))], axis=0)
+    # same values as the host transform, 4x fewer upload bytes. A packed
+    # batch carries both streams as ONE (N, 2, H, W, C) buffer ('imgs',
+    # BatchLoader pack=...): half the upload buffers, device-local unpack
+    if "imgs" in batch:
+        pairs = cast(images_to_unit_range(batch["imgs"]))
+        n = pairs.shape[0]
+        both = jnp.concatenate([pairs[:, 0], pairs[:, 1]], axis=0)
+    else:
+        n = batch["img_non"].shape[0]
+        both = jnp.concatenate(
+            [cast(images_to_unit_range(batch["img_non"])),
+             cast(images_to_unit_range(batch["img_ocl"]))], axis=0)
     featmap_both, embed_both, _ = irse.apply(enc_p, enc_s, both,
                                              training=False)
     return {
@@ -141,8 +148,12 @@ def train_step_from_features(state: TrainState, feats, *, cfg: TrainerConfig):
     def cast(tree):
         return tree_cast_floats(tree, half)
 
-    featmap_non, featmap_ocl = feats["featmap_non"], feats["featmap_ocl"]
-    embed_non, embed_ocl = feats["embed_non"], feats["embed_ocl"]
+    if "featmaps" in feats:  # packed (N, 2, ...) buffers (fewer uploads)
+        featmap_non, featmap_ocl = feats["featmaps"][:, 0], feats["featmaps"][:, 1]
+        embed_non, embed_ocl = feats["embeds"][:, 0], feats["embeds"][:, 1]
+    else:
+        featmap_non, featmap_ocl = feats["featmap_non"], feats["featmap_ocl"]
+        embed_non, embed_ocl = feats["embed_non"], feats["embed_ocl"]
     labels = feats["label"]
 
     def branch(p, st, featmap):
@@ -284,7 +295,8 @@ def _train_state_shardings(mesh, state: TrainState) -> TrainState:
 
 
 def make_distributed_step(mesh, cfg: TrainerConfig, encoder_params,
-                          encoder_state, state: TrainState):
+                          encoder_state, state: TrainState,
+                          packed: bool = False):
     """Bind train_step to a mesh.
 
     Returns (jitted_step, (enc_params, enc_state, state) placed with their
@@ -307,7 +319,10 @@ def make_distributed_step(mesh, cfg: TrainerConfig, encoder_params,
     enc_p_shard = jax.tree.map(lambda _: rep, encoder_params)
     enc_s_shard = jax.tree.map(lambda _: rep, encoder_state)
     bs = batch_sharding(mesh)
-    batch_shard = {"img_non": bs, "img_ocl": bs, "label": bs}
+    # packed: ONE (N, 2, H, W, C) 'imgs' buffer instead of two image
+    # buffers (BatchLoader pack=...; fewer per-buffer upload costs)
+    batch_shard = ({"imgs": bs, "label": bs} if packed
+                   else {"img_non": bs, "img_ocl": bs, "label": bs})
 
     step = jax.jit(
         partial(train_step, cfg=cfg),
@@ -331,10 +346,16 @@ def make_distributed_step(mesh, cfg: TrainerConfig, encoder_params,
 
 FEATURE_KEYS = ("featmap_non", "featmap_ocl", "embed_non", "embed_ocl",
                 "label")
+#: packed layout: featmaps/embeds carry both streams on axis 1
+PACKED_FEATURE_KEYS = ("featmaps", "embeds", "label")
+#: BatchLoader pack= spec producing the packed layout from FEATURE_KEYS
+FEATURE_PACK = {"featmaps": ("featmap_non", "featmap_ocl"),
+                "embeds": ("embed_non", "embed_ocl")}
 
 
 def make_distributed_feature_step(mesh, cfg: TrainerConfig,
-                                  state: TrainState):
+                                  state: TrainState,
+                                  packed: bool = False):
     """Bind train_step_from_features to a mesh (feature-cached training).
 
     With the encoder frozen, its features can be computed once and streamed
@@ -349,7 +370,8 @@ def make_distributed_feature_step(mesh, cfg: TrainerConfig,
     rep = replicated(mesh)
     state_shard = _train_state_shardings(mesh, state)
     bs = batch_sharding(mesh)
-    feats_shard = {k: bs for k in FEATURE_KEYS}
+    feats_shard = {k: bs for k in
+                   (PACKED_FEATURE_KEYS if packed else FEATURE_KEYS)}
 
     step = jax.jit(
         partial(train_step_from_features, cfg=cfg),

@@ -164,6 +164,25 @@ def main() -> None:
     state = create_train_state(jax.random.PRNGKey(1), cfg)
     step, state = make_distributed_feature_step(mesh, cfg, state)
 
+    # uint8 leaves must survive make_array_from_process_local_data (the
+    # driver's default host_normalize=0 upload path under multi-process)
+    class U8Imgs:
+        def __len__(self):
+            return 16
+
+        def get(self, idx, rng):
+            r = np.random.default_rng(idx)
+            return {"img": r.integers(0, 256, (4, 4, 3)).astype(np.uint8),
+                    "label": np.int32(idx)}
+
+    u8b = next(iter(BatchLoader(
+        U8Imgs(), batch_size=8, shuffle=False, drop_last=True,
+        num_threads=2,
+        sharding={"img": batch_sharding(mesh),
+                  "label": batch_sharding(mesh)}).epoch(0)))
+    assert str(u8b["img"].dtype) == "uint8", u8b["img"].dtype
+    assert u8b["img"].shape[0] == 8  # global batch reassembled
+
     bs = batch_sharding(mesh)
     loader = BatchLoader(
         SyntheticFeatures(), batch_size=8, shuffle=True, drop_last=True,
