@@ -53,13 +53,28 @@ class PreemptionGuard:
 
     def __init__(self):
         self.requested = False
+        self._prev_handlers = {}
 
     def install(self) -> "PreemptionGuard":
         import signal
 
         for sig in (signal.SIGTERM, signal.SIGUSR1):
-            signal.signal(sig, self._handler)
+            self._prev_handlers[sig] = signal.signal(sig, self._handler)
         return self
+
+    def uninstall(self) -> None:
+        """Restore the handlers that were active before install(). Without
+        this a SIGTERM arriving AFTER train() returns would still be
+        swallowed by the stale handler — fatal for embedding processes
+        (tests, notebooks, services) that expect default termination."""
+        import signal
+
+        for sig, prev in self._prev_handlers.items():
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, TypeError):  # non-main thread / odd prev
+                pass
+        self._prev_handlers = {}
 
     def _handler(self, signum, frame):
         self.requested = True
@@ -190,7 +205,13 @@ def train(opts: Options) -> None:
         guard.install()
     except ValueError:  # not the main thread (e.g. driven from a test)
         pass
+    try:
+        _train(opts, guard)
+    finally:
+        guard.uninstall()
 
+
+def _train(opts: Options, guard: PreemptionGuard) -> None:
     logger = Logger(opts.log_dir, opts.save_weight_dir, phase="train")
     timer = Timer()
     cfg = opts.trainer_config()

@@ -52,3 +52,26 @@ def test_preemption_checkpoints_and_resumes(tmp_path):
     train_mod.train(opts2)
     _, _, _, meta2 = load_checkpoint(opts2.ckpt_dir, "latest")
     assert meta2["iter"] > first_iter  # made progress after resume
+
+
+def test_guard_uninstall_restores_handlers():
+    """train() must not leave its SIGTERM/SIGUSR1 handlers installed after
+    returning: an embedding process (test runner, notebook, service) would
+    otherwise silently swallow termination signals forever."""
+    import signal
+
+    from ffrnet_tpu.train import PreemptionGuard
+
+    def sentinel(signum, frame):  # pragma: no cover - never invoked
+        pass
+
+    old = signal.signal(signal.SIGTERM, sentinel)
+    try:
+        g = PreemptionGuard().install()
+        assert signal.getsignal(signal.SIGTERM) == g._handler
+        g.uninstall()
+        assert signal.getsignal(signal.SIGTERM) is sentinel
+        g.uninstall()  # idempotent
+        assert signal.getsignal(signal.SIGTERM) is sentinel
+    finally:
+        signal.signal(signal.SIGTERM, old)

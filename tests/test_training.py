@@ -493,7 +493,9 @@ def _run_two_process_workers(mode, *extra_args):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=1200)
+            # generous: two workers compiling on the 1-core CI box take
+            # ~400 s alone but 2-3x that inside a full-suite marathon run
+            out, _ = p.communicate(timeout=3000)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
