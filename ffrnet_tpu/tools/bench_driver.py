@@ -44,9 +44,12 @@ def main(argv=None):
     p.add_argument("--producer_upload", type=int, default=1,
                    help="device_put in the loader's producer thread "
                         "(overlaps upload with the step); 0 = consumer-side")
-    p.add_argument("--pack", type=int, default=1,
+    p.add_argument("--pack", type=int, default=0,
                    help="pack both image streams into ONE (N,2,H,W,C) "
-                        "buffer per batch (halves per-buffer upload costs)")
+                        "buffer per batch. Default off, matching the "
+                        "driver: fewer per-buffer costs in serialized "
+                        "microbenches but measured ~40% slower in the "
+                        "overlapped real loop (BASELINE.md)")
     args = p.parse_args(argv)
 
     import jax

@@ -274,12 +274,17 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
                   "paired flip (e.g. SyntheticPairs noise is drawn once)",
                   file=sys.stderr)
         if jax.process_count() > 1:
-            # one builder per shared cache_dir; others wait for the meta
-            # (written last), then fall back to building locally in case
-            # cache_dir is host-local storage
+            # one builder per shared cache_dir; waiters watch the builder's
+            # per-batch lock heartbeat (feature_cache.lock_age_s). If
+            # neither meta nor a live lock ever appears, cache_dir is
+            # host-local storage -> build locally. A blind deadline here
+            # would start a concurrent build into a SHARED dir and corrupt
+            # the primary build (review finding, round 5).
             import time as _time
 
             from jax.experimental import multihost_utils
+
+            from ffrnet_tpu.training.feature_cache import lock_age_s
 
             if jax.process_index() == 0:
                 build_feature_cache(flipfree, enc_params, enc_state,
@@ -287,16 +292,27 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
                                     compute_dtype=cfg.compute_dtype,
                                     num_threads=opts.n_thread)
             else:
-                deadline = _time.time() + 3600
-                while not os.path.exists(
-                        os.path.join(cache_dir, "meta.json")):
-                    if _time.time() > deadline:  # host-local cache_dir
+                meta_path = os.path.join(cache_dir, "meta.json")
+                grace = _time.time() + float(os.environ.get(
+                    "FFRNET_CACHE_GRACE_S", "300"))
+                stale_s = float(os.environ.get(
+                    "FFRNET_CACHE_STALE_S", "1800"))
+                while not os.path.exists(meta_path):
+                    age = lock_age_s(cache_dir)
+                    if age is None and _time.time() > grace:
+                        # no meta, no lock: host-local dir — build here
                         build_feature_cache(
                             flipfree, enc_params, enc_state, cache_dir,
                             batch_size=opts.batch_size,
                             compute_dtype=cfg.compute_dtype,
                             num_threads=opts.n_thread)
                         break
+                    if age is not None and age > stale_s:
+                        raise RuntimeError(
+                            f"feature-cache build heartbeat in {cache_dir}"
+                            f" is {age:.0f}s stale — the builder likely "
+                            "crashed; remove building.lock (and any "
+                            "partial .npy files) and restart")
                     _time.sleep(2.0)
             multihost_utils.sync_global_devices("ffrnet_feature_cache")
         else:

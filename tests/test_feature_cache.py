@@ -104,6 +104,42 @@ def test_build_is_idempotent_but_invalidates_on_change(tmp_path, encoder):
     assert not np.array_equal(emb0, emb1)
 
 
+def test_crashed_rebuild_never_looks_complete(tmp_path, encoder):
+    """A rebuild removes the stale meta BEFORE truncating the arrays: a
+    build that dies mid-way must not leave a cache that passes the
+    completeness check with zeroed features."""
+    import os
+
+    import jax
+
+    from ffrnet_tpu.training.feature_cache import (
+        build_feature_cache, lock_age_s)
+
+    enc_p, enc_s = encoder
+    d = str(tmp_path / "fc")
+    build_feature_cache(DetPairs(n=3, flip_prob=0.0), enc_p, enc_s, d,
+                        batch_size=2)
+    assert lock_age_s(d) is None  # lock removed on completion
+
+    class Dies(DetPairs):
+        def get(self, idx, rng):
+            if idx >= 2:
+                raise RuntimeError("boom")
+            return super().get(idx, rng)
+
+    enc_p2 = jax.tree.map(lambda x: x * 1.001, enc_p)  # forces rebuild
+    with pytest.raises(RuntimeError):
+        build_feature_cache(Dies(n=3, flip_prob=0.0), enc_p2, enc_s, d,
+                            batch_size=2)
+    assert not os.path.exists(os.path.join(d, "meta.json"))
+    assert lock_age_s(d) is not None  # crashed build leaves its lock
+    # next build with the ORIGINAL encoder must rebuild, not reuse
+    build_feature_cache(DetPairs(n=3, flip_prob=0.0), enc_p, enc_s, d,
+                        batch_size=2)
+    assert os.path.exists(os.path.join(d, "meta.json"))
+    assert lock_age_s(d) is None
+
+
 def test_cached_training_matches_raw(tmp_path, encoder):
     """Two optimizer steps through the cache == two raw train_step calls
     (same flips via the shared per-(epoch, sample) RNG discipline)."""

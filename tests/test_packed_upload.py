@@ -93,6 +93,38 @@ def test_feature_step_packed_matches_unpacked():
                                    rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow
+def test_packed_step_dp_tp_mesh():
+    """The packed (N, 2, ...) layout under a real ('data','model') mesh:
+    make_distributed_step(packed=True) compiles, shards, and executes
+    (complements __graft_entry__'s dry-run of the default unpacked path)."""
+    import jax
+    import numpy as np
+
+    from ffrnet_tpu.models import irse
+    from ffrnet_tpu.models.recnet import RecNetConfig
+    from ffrnet_tpu.parallel.mesh import batch_sharding, make_mesh
+    from ffrnet_tpu.training.trainer import (
+        TrainerConfig, create_train_state, make_distributed_step)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = TrainerConfig(optimizer="adam", lr=1e-3,
+                        recnet=RecNetConfig(num_classes=16))
+    enc_p, enc_s = irse.init(jax.random.PRNGKey(0))
+    state = create_train_state(jax.random.PRNGKey(1), cfg)
+    step, (enc_p, enc_s, state) = make_distributed_step(
+        mesh, cfg, enc_p, enc_s, state, packed=True)
+    rng = np.random.default_rng(0)
+    bs = batch_sharding(mesh)
+    batch = jax.device_put(
+        {"imgs": rng.integers(0, 256, (8, 2, 112, 112, 3)).astype(np.uint8),
+         "label": rng.integers(0, 16, 8).astype(np.int32)},
+        {"imgs": bs, "label": bs})
+    state, metrics = step(enc_p, enc_s, state, batch)
+    assert np.isfinite(float(metrics["TotalLoss"]))
+    assert int(jax.device_get(state.step)) == 1
+
+
 def test_eval_packed_scores_match(tmp_path):
     import jax
 
