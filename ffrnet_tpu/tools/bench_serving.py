@@ -37,6 +37,11 @@ def main(argv=None) -> dict:
                          "two up to max_batch); fewer buckets = fewer "
                          "compiles, more padding")
     ap.add_argument("--dtype", default="bf16", choices=["fp32", "bf16"])
+    ap.add_argument("--wire", default="float32",
+                    choices=["float32", "uint8"],
+                    help="client submission format: uint8 = raw pixels "
+                         "(4x smaller request payloads; the service "
+                         "normalizes, serving/service.py submit)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -55,8 +60,12 @@ def main(argv=None) -> dict:
     svc.warmup()
 
     rng = np.random.default_rng(0)
-    face = rng.uniform(-1, 1,
-                       (args.group, 112, 112, 3)).astype(np.float32)
+    if args.wire == "uint8":
+        face = rng.integers(0, 256, (args.group, 112, 112, 3),
+                            dtype=np.uint8)
+    else:
+        face = rng.uniform(-1, 1,
+                           (args.group, 112, 112, 3)).astype(np.float32)
     stop = time.monotonic() + args.seconds
     lat_lock = threading.Lock()
     latencies: list = []
@@ -109,6 +118,7 @@ def main(argv=None) -> dict:
         "mean_batch": round(svc.stats.mean_batch, 1),
         "padded_frac": round(svc.stats.padded_faces
                              / max(svc.stats.faces + svc.stats.padded_faces, 1), 3),
+        "wire": args.wire,
     }
     print(json.dumps(out))
     return out

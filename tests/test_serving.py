@@ -353,6 +353,12 @@ def test_bench_serving_tool_smoke(capsys):
     assert out["metric"] == "served_faces_per_sec"
     assert out["value"] > 0 and out["dispatches"] >= 1
     assert out["latency_ms_p50"] is not None
+    out_u8 = bench_serving.main([
+        "--clients", "2", "--group", "2", "--seconds", "0.5",
+        "--max_batch", "4", "--buckets", "4", "--dtype", "fp32",
+        "--wire", "uint8"])
+    assert out_u8["wire"] == "uint8" and out_u8["value"] > 0
+    assert out_u8["client_errors"] == 0
 
 
 def test_service_drains_queue_on_close(model):
