@@ -261,8 +261,11 @@ def _conv4channel_factored(params, flat, *, eps: float = 1e-12):
     with ghat = L2-normalized rows of `flat` — two rank-49 matmuls
     (~0.8 GFLOP at batch 256) instead of building and consuming a 134 MB
     (N,512,512) tensor (~4.3 GFLOP + the concat materialization). Measured
-    2.7x on the whole channel branch (BASELINE.md round 3). Numerics differ
-    from the materialized path only by float reassociation.
+    2.7x on the whole channel branch (BASELINE.md round 3). The same
+    associativity collapses the two inter-block Linear pairs (see inline
+    comment), so the ONLY (N, C, C) tensor the branch ever builds is the
+    final sigmoid attention matrix itself. Numerics differ from the
+    materialized path only by float reassociation.
 
     flat: (N, C, HW) channel-major view of the feature map.
     """
@@ -281,11 +284,28 @@ def _conv4channel_factored(params, flat, *, eps: float = 1e-12):
     if b1 is not None:
         h = h + b1
     h = ops.prelu(h, params["prelu0"]["slope"], axis=1)
-    x = _lin_2d(params["lin1"], h)
+    # The blocks chain as ... -> Linear(32->C) -> Linear(C->32) -> PReLU ...
+    # with NO nonlinearity at the block boundary (models/recnet.py:372-386:
+    # each block ends in its second Linear and the next block opens with its
+    # first), so each (lin1,lin2) / (lin3,lin4) pair collapses to a single
+    # (32,32) linear:
+    #   (h @ Wa^T + ba) @ Wb^T + bb  =  h @ (Wb Wa)^T + (Wb ba + bb)
+    # and the two (N, C, C) inter-block tensors are never materialized —
+    # in training this also deletes their tape residuals. Exact up to float
+    # reassociation; weight products accumulate in fp32.
     for i in (1, 2):
-        x = _lin_2d(params[f"lin{2 * i}"], x)
-        x = ops.prelu(x, params[f"prelu{i}"]["slope"], axis=1)
-        x = _lin_2d(params[f"lin{2 * i + 1}"], x)
+        pa, pb = params[f"lin{2 * i - 1}"], params[f"lin{2 * i}"]
+        wc = jnp.matmul(pb["w"], pa["w"],
+                        preferred_element_type=jnp.float32).astype(h.dtype)
+        ba, bb = pa.get("b"), pb.get("b")
+        bc = bb
+        if ba is not None:
+            bab = jnp.matmul(pb["w"], ba,
+                             preferred_element_type=jnp.float32).astype(h.dtype)
+            bc = bab if bb is None else bab + bb
+        h = _lin_2d({"w": wc, "b": bc}, h)
+        h = ops.prelu(h, params[f"prelu{i}"]["slope"], axis=1)
+    x = _lin_2d(params["lin5"], h)
     return jax.nn.sigmoid(x)
 
 

@@ -38,6 +38,10 @@ def main(argv=None):
                    help="channel self-similarity loss path: Gram-free trace "
                         "identity vs literal (N,512,512) Grams "
                         "(losses.gram_mse_factored)")
+    p.add_argument("--c4c_impl", type=str, default="factored",
+                   choices=["factored", "materialized"],
+                   help="channel-attention dataflow in the RecNet forward "
+                        "(RecNetConfig.c4c_impl)")
     p.add_argument("--features", type=int, default=0,
                    help="feature-cached mode: run encode_frozen once, then "
                         "time RecNet-only steps (train_step_from_features) "
@@ -58,6 +62,7 @@ def main(argv=None):
                         ss_loss_impl=args.ss_loss_impl,
                         recnet=RecNetConfig(
                             num_classes=args.num_classes,
+                            c4c_impl=args.c4c_impl,
                             remat_channel=bool(args.remat_channel)))
     enc_params, enc_state = irse.init(jax.random.PRNGKey(0))
     state = create_train_state(jax.random.PRNGKey(1), cfg)
@@ -111,6 +116,7 @@ def main(argv=None):
         "remat": bool(args.remat),
         "remat_channel": bool(args.remat_channel),
         "ss_loss_impl": args.ss_loss_impl,
+        "c4c_impl": args.c4c_impl,
         "features": bool(args.features),
         "step_ms": round(1e3 * dt / args.iters, 2),
     }))
