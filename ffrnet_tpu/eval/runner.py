@@ -93,18 +93,20 @@ def evaluate_pairs(enc_params, enc_state, rec_params, rec_state,
                                     rec_params, rec_state, batch)
         raw_chunks.append(s_raw)
         new_chunks.append(s_new)
-        labels.append(np.asarray(batch["label"]))
+        # do NOT np.asarray here: a device-resident label (loaders that
+        # device_put in their producer thread) would pay a host round-trip
+        # per batch — labels join the single device_get below instead
+        labels.append(batch["label"])
     if not raw_chunks:
         raise ValueError("evaluate_pairs got no batches — empty pair list "
                          "or exhausted iterator?")
     scores_raw_d = jnp.concatenate(raw_chunks)
     scores_new_d = jnp.concatenate(new_chunks)
-    lab = np.concatenate(labels)
-    lab_d = jnp.asarray(lab)
-    res_new, res_raw, scores_new, scores_raw = jax.device_get((
+    lab_d = jnp.concatenate([jnp.asarray(l) for l in labels])
+    res_new, res_raw, scores_new, scores_raw, lab = jax.device_get((
         kfold_verification(scores_new_d, lab_d),
         kfold_verification(scores_raw_d, lab_d),
-        scores_new_d, scores_raw_d))  # <- the single host sync
+        scores_new_d, scores_raw_d, lab_d))  # <- the single host sync
     results = (res_new, res_raw)
     if return_scores:
         return results + (scores_new, scores_raw, lab)
@@ -150,17 +152,23 @@ def evaluate_pairs_multiprocess(enc_params, enc_state, rec_params, rec_state,
     for batch in local_batches:
         s_raw, s_new = _score_batch(score, enc_params, enc_state,
                                     rec_params, rec_state, batch)
-        raw_chunks.append(np.asarray(s_raw, np.float32))
-        new_chunks.append(np.asarray(s_new, np.float32))
-        lab_chunks.append(np.asarray(batch["label"]))
+        # keep everything on device through the loop (dispatches run ahead
+        # asynchronously); ONE fetch below feeds the host all-gather
+        raw_chunks.append(s_raw)
+        new_chunks.append(s_new)
+        lab_chunks.append(batch["label"])
     # a process can legitimately own ZERO pairs (n_pairs < process_count):
     # it must still reach the collective below or every other host hangs
+    if raw_chunks:
+        raw_h, new_h, lab_h = jax.device_get((
+            jnp.concatenate(raw_chunks), jnp.concatenate(new_chunks),
+            jnp.concatenate([jnp.asarray(l) for l in lab_chunks])))
     local = {
-        "raw": (np.concatenate(raw_chunks) if raw_chunks
+        "raw": (np.asarray(raw_h, np.float32) if raw_chunks
                 else np.zeros((0,), np.float32)),
-        "new": (np.concatenate(new_chunks) if new_chunks
+        "new": (np.asarray(new_h, np.float32) if raw_chunks
                 else np.zeros((0,), np.float32)),
-        "label": (np.concatenate(lab_chunks).astype(np.int32) if lab_chunks
+        "label": (np.asarray(lab_h).astype(np.int32) if raw_chunks
                   else np.zeros((0,), np.int32)),
     }
     sizes = [process_pair_slice(n_pairs, p, process_count).stop

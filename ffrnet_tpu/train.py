@@ -143,9 +143,13 @@ def make_eval_batches(opts: Options, ocl_num: int, batch_size: int):
         from ffrnet_tpu.eval.runner import process_pair_slice
 
         ds = SliceDataset(ds, process_pair_slice(n_pairs))
+    # device placement in the loader's producer thread: batch k+1's upload
+    # overlaps batch k's decode/dispatch (the runner never fetches per
+    # batch, so the whole eval still pays ONE host sync — eval/runner.py)
     loader = BatchLoader(ds, batch_size, shuffle=False, drop_last=False,
                          seed=opts.seed, num_threads=opts.n_thread,
                          process_index=0, process_count=1,
+                         sharding=jax.local_devices()[0],
                          pack={"imgs": ("img1", "img2")}
                          if opts.pack_upload else None)
     return loader.epoch(0), n_pairs
