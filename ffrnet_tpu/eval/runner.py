@@ -56,6 +56,17 @@ def make_pair_score_fn(cfg: RecNetConfig, *, num_layers: int = 50,
     return score
 
 
+def _concat_labels(chunks):
+    """One device array from per-batch labels. Host chunks concatenate on
+    the host first (ONE upload, not one tiny device_put per batch — fixed
+    per-buffer relay costs dwarf the bytes); device-resident chunks (loaders
+    that device_put in their producer thread) concatenate on device so the
+    loop never pays a per-batch host round-trip."""
+    if all(isinstance(c, np.ndarray) for c in chunks):
+        return jnp.asarray(np.concatenate(chunks))
+    return jnp.concatenate([jnp.asarray(c) for c in chunks])
+
+
 def _score_batch(score, enc_params, enc_state, rec_params, rec_state, batch):
     """Dispatch one pair batch through `score`, handling both the packed
     ('imgs') and two-buffer ('img1'/'img2') layouts; custom score_fns
@@ -102,7 +113,7 @@ def evaluate_pairs(enc_params, enc_state, rec_params, rec_state,
                          "or exhausted iterator?")
     scores_raw_d = jnp.concatenate(raw_chunks)
     scores_new_d = jnp.concatenate(new_chunks)
-    lab_d = jnp.concatenate([jnp.asarray(l) for l in labels])
+    lab_d = _concat_labels(labels)
     res_new, res_raw, scores_new, scores_raw, lab = jax.device_get((
         kfold_verification(scores_new_d, lab_d),
         kfold_verification(scores_raw_d, lab_d),
@@ -162,7 +173,7 @@ def evaluate_pairs_multiprocess(enc_params, enc_state, rec_params, rec_state,
     if raw_chunks:
         raw_h, new_h, lab_h = jax.device_get((
             jnp.concatenate(raw_chunks), jnp.concatenate(new_chunks),
-            jnp.concatenate([jnp.asarray(l) for l in lab_chunks])))
+            _concat_labels(lab_chunks)))
     local = {
         "raw": (np.asarray(raw_h, np.float32) if raw_chunks
                 else np.zeros((0,), np.float32)),

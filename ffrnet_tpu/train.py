@@ -30,7 +30,7 @@ from ffrnet_tpu.data.pipeline import BatchLoader
 from ffrnet_tpu.eval.runner import evaluate_pairs, make_pair_score_fn
 from ffrnet_tpu.models import irse
 from ffrnet_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                      validate_batch_for_mesh)
+                                      replicated, validate_batch_for_mesh)
 from ffrnet_tpu.training.trainer import (
     TrainState, create_train_state, make_distributed_step,
     unpad_train_state_classes)
@@ -129,7 +129,8 @@ def make_train_dataset(opts: Options):
     return CasiaPairs(opts.train_data, img_list, host_normalize=host_norm)
 
 
-def make_eval_batches(opts: Options, ocl_num: int, batch_size: int):
+def make_eval_batches(opts: Options, ocl_num: int, batch_size: int,
+                      placement=None):
     # flip_prob=0 pins eval determinism; the reference's random eval-time
     # flip (data/dataset.py:148-151) is opt-in via --faithful_eval_flip 1.
     ds = LfwPairs(opts.test_data, opts.test_pair_list, test_ocl_num=ocl_num,
@@ -145,26 +146,38 @@ def make_eval_batches(opts: Options, ocl_num: int, batch_size: int):
         ds = SliceDataset(ds, process_pair_slice(n_pairs))
     # device placement in the loader's producer thread: batch k+1's upload
     # overlaps batch k's decode/dispatch (the runner never fetches per
-    # batch, so the whole eval still pays ONE host sync — eval/runner.py)
+    # batch, so the whole eval still pays ONE host sync — eval/runner.py).
+    # `placement` must be compatible with wherever the caller's params
+    # live: mid-train params are mesh-placed, so the train loop passes its
+    # mesh's replicated sharding — a bare local device there would make
+    # jit reject the mixed device sets. None = host batches (old behavior,
+    # kept for multi-process runs where each host scores its own slice).
     loader = BatchLoader(ds, batch_size, shuffle=False, drop_last=False,
                          seed=opts.seed, num_threads=opts.n_thread,
                          process_index=0, process_count=1,
-                         sharding=jax.local_devices()[0],
+                         sharding=placement,
                          pack={"imgs": ("img1", "img2")}
                          if opts.pack_upload else None)
     return loader.epoch(0), n_pairs
 
 
 def eval_lfw(opts: Options, enc, rec, ocl_num: int, cfg, score_fn=None,
-             dump_wrong_to: Optional[str] = None):
+             dump_wrong_to: Optional[str] = None, placement=None):
     """(acc_new, acc) at the given occlusion count (train.py:101-113).
 
     dump_wrong_to: when set, write each misclassified pair's images under
     <dump_wrong_to>/wrong_images{,_new}_ocl{n}/ — the reference's
     save_wrong_imgs hook (lfw/lfw_eval.py:120-135) wired end-to-end.
+    placement: optional device/sharding for the eval batches (must match
+    where enc/rec live — see make_eval_batches).
     """
-    batches, n_pairs = make_eval_batches(opts, ocl_num, opts.batch_size)
     multiproc = jax.process_count() > 1
+    if placement is None and not multiproc:
+        # params on the default device (test phase, library callers):
+        # producer-thread upload to the local device streams batches up
+        placement = jax.local_devices()[0]
+    batches, n_pairs = make_eval_batches(opts, ocl_num, opts.batch_size,
+                                         placement=placement)
     if multiproc:
         from ffrnet_tpu.eval.runner import evaluate_pairs_multiprocess
 
@@ -330,8 +343,6 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
         # the encoder is out of the step but still serves every LFW eval:
         # place it once (host leaves in jitted-call args would re-upload
         # the full tree per eval batch through a relayed device)
-        from ffrnet_tpu.parallel.mesh import replicated
-
         enc_params = jax.device_put(enc_params, replicated(mesh))
         enc_state = jax.device_put(enc_state, replicated(mesh))
 
@@ -473,8 +484,14 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
                 flush_metrics()
                 rec = (state.params, state.model_state)
                 enc = (enc_params, enc_state)
+                # mid-train params are mesh-placed: eval batches must join
+                # them on the SAME device set (replicated over the mesh) or
+                # jit rejects the mixed placements
+                eval_place = (None if jax.process_count() > 1
+                              else replicated(mesh))
                 for ocl in range(1 if opts.debug else 3):
-                    acc_new, acc = eval_lfw(opts, enc, rec, ocl, cfg, score_fn)
+                    acc_new, acc = eval_lfw(opts, enc, rec, ocl, cfg,
+                                            score_fn, placement=eval_place)
                     logger.record_scalar({"acc": acc}, f"test_acc/ocl{ocl}")
                     logger.record_scalar({"acc_new": acc_new}, f"test_acc/ocl{ocl}")
                     print(f"test result ocl{ocl}: acc_new {acc_new:.4f} "

@@ -203,3 +203,27 @@ def test_orbax_backend_train_and_resume(tmp_path, monkeypatch):
     step_ids = [int(s.split("_")[-1])
                 for s in glob.glob(ck_dir + "/orbax_*")]
     assert max(step_ids) == 16, step_ids
+
+
+@pytest.mark.slow
+def test_midtrain_eval_on_multidevice_mesh(tmp_path, monkeypatch, lfw_tree):
+    """Mid-train LFW eval must run against MESH-PLACED params: the train
+    loop's params carry NamedShardings over the ('data','model') mesh, so
+    the eval batches have to be placed on the same device set (the loader
+    placement is replicated(mesh); a bare local-device placement makes jit
+    reject the mixed device sets — regression caught in round-6 review)."""
+    from ffrnet_tpu.config import Options
+    from ffrnet_tpu.data.datasets import _listdir_cached
+    from ffrnet_tpu.train import train
+
+    _listdir_cached.cache_clear()
+    monkeypatch.chdir(tmp_path)
+    root, pairs = lfw_tree
+    opts = Options(phase="train", train_data="synthetic", num_classes=8,
+                   batch_size=8, total_epochs=1, optimizer="sgd", lr=1e-3,
+                   save_freq=1000, print_freq=1000, n_thread=2, seed=0,
+                   mesh_data=4, mesh_model=2,  # 8 virtual CPU devices
+                   eval_freq=4,  # fires mid-epoch (32 samples / batch 8)
+                   test_data=str(root), test_pair_list=str(pairs),
+                   weight_root=str(tmp_path / "w")).finalize()
+    train(opts)  # raises if eval batches land on an incompatible device set
