@@ -90,6 +90,11 @@ class Options:
     save_freq: int = 2000
     print_freq: int = 10
     eval_freq: int = 100
+    visualize: int = 0            # log the M_space/M_channel attention
+    # panel (eval/visualize.py) for the first ocl-1 eval batch at each eval
+    # boundary: TensorBoard image + PNG under ckpt_dir/visuals. Makes the
+    # reference's dead visualize() (lfw/lfw_eval.py:164-223 — defined,
+    # never called) a live capability
     # parallelism
     mesh_data: int = 0            # 0 = all devices / mesh_model
     mesh_model: int = 1
@@ -198,6 +203,7 @@ def parse_args(argv: Optional[List[str]] = None, *, make_dirs: bool = True) -> O
     p.add_argument("--save_freq", type=int, default=defaults.save_freq)
     p.add_argument("--print_freq", type=int, default=defaults.print_freq)
     p.add_argument("--eval_freq", type=int, default=defaults.eval_freq)
+    p.add_argument("--visualize", type=int, default=defaults.visualize)
     p.add_argument("--mesh_data", type=int, default=defaults.mesh_data)
     p.add_argument("--mesh_model", type=int, default=defaults.mesh_model)
     p.add_argument("--test_result_dir", type=str, default=defaults.test_result_dir)

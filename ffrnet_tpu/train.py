@@ -212,6 +212,60 @@ def eval_lfw(opts: Options, enc, rec, ocl_num: int, cfg, score_fn=None,
     return float(res_new.mean_accuracy), float(res_raw.mean_accuracy)
 
 
+def log_attention_visual(opts: Options, enc, rec, cfg, logger,
+                         iteration: int, placement=None) -> None:
+    """Render + log the attention panel for the first ocl-1 eval batch.
+
+    Rebuild of the reference's visualize() (lfw/lfw_eval.py:164-223 —
+    defined there but never called; live here behind --visualize 1):
+    clean|masked 4-column panels (image, 67x67 M_space grid, M_channel
+    matrix, argmax-channel feature map) to TensorBoard and
+    ckpt_dir/visuals/attention_{iter:07d}.png.
+    """
+    import types
+
+    from ffrnet_tpu.eval.visualize import visualize_pair
+    from ffrnet_tpu.models import recnet as recnet_mod
+
+    n_rows = min(opts.batch_size, 8)
+    batches, _ = make_eval_batches(opts, 1, n_rows, placement=placement)
+    batch = next(iter(batches))
+    img1 = batch["imgs"][:, 0] if "imgs" in batch else batch["img1"]
+    img2 = batch["imgs"][:, 1] if "imgs" in batch else batch["img2"]
+
+    @jax.jit
+    def attention(enc_p, enc_s, rec_p, rec_s, i1, i2):
+        from ffrnet_tpu.ops.nn import images_to_unit_range
+
+        i1, i2 = images_to_unit_range(i1), images_to_unit_range(i2)
+        both = jnp.concatenate([i1, i2], axis=0)
+        fm, _, _ = irse.apply(enc_p, enc_s, both, training=False)
+        lab = jnp.zeros((both.shape[0],), jnp.int32)  # head output unused
+        out, _ = recnet_mod.apply(rec_p, rec_s, fm, lab, cfg=cfg.recnet,
+                                  training=False)
+        return fm, out.m_space, out.m_channel, i1, i2
+
+    fm, m_space, m_channel, i1, i2 = jax.device_get(
+        attention(enc[0], enc[1], rec[0], rec[1], img1, img2))
+    n = i1.shape[0]
+
+    def half(sl):
+        return types.SimpleNamespace(m_space=m_space[sl], m_channel=m_channel[sl])
+
+    panel = visualize_pair(i1, half(slice(None, n)), i2,
+                           half(slice(n, None)), fm[:n], fm[n:],
+                           n_rows=n_rows)
+    logger.record_single_image(panel, "attention/ocl1")
+    try:
+        from PIL import Image
+
+        path = os.path.join(opts.ckpt_dir, "visuals",
+                            f"attention_{iteration:07d}.png")
+        Image.fromarray(panel).save(path)
+    except Exception as e:  # PNG dump is best-effort; the scalar eval is not
+        print(f"[visualize] PNG dump failed: {e}", file=sys.stderr)
+
+
 def train(opts: Options) -> None:
     # arm the preemption guard FIRST: setup (weight import, compile,
     # placement) takes long enough that a grace-window signal can land
@@ -496,6 +550,9 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
                     logger.record_scalar({"acc_new": acc_new}, f"test_acc/ocl{ocl}")
                     print(f"test result ocl{ocl}: acc_new {acc_new:.4f} "
                           f"acc {acc:.4f}")
+                if opts.visualize and jax.process_count() == 1:
+                    log_attention_visual(opts, enc, rec, cfg, logger,
+                                         cur_iters, placement=eval_place)
             if opts.debug:
                 break
     flush_metrics()

@@ -224,6 +224,12 @@ def test_midtrain_eval_on_multidevice_mesh(tmp_path, monkeypatch, lfw_tree):
                    save_freq=1000, print_freq=1000, n_thread=2, seed=0,
                    mesh_data=4, mesh_model=2,  # 8 virtual CPU devices
                    eval_freq=4,  # fires mid-epoch (32 samples / batch 8)
+                   visualize=1,  # attention panel on the same mesh params
                    test_data=str(root), test_pair_list=str(pairs),
                    weight_root=str(tmp_path / "w")).finalize()
     train(opts)  # raises if eval batches land on an incompatible device set
+    import glob
+
+    pngs = glob.glob(os.path.join(opts.ckpt_dir, "visuals",
+                                  "attention_*.png"))
+    assert pngs, "expected --visualize 1 to dump an attention panel PNG"
