@@ -90,6 +90,10 @@ class Options:
     save_freq: int = 2000
     print_freq: int = 10
     eval_freq: int = 100
+    report_roc: int = 0           # test phase: also report exact-ROC
+    # operating points per ocl level (TAR@FAR 1e-3/1e-2/1e-1, EER, AUC) for
+    # raw + rectified embeddings — framework extra; the reference reports
+    # 10-fold accuracy only (lfw/lfw_eval.py:272-287)
     visualize: int = 0            # log the M_space/M_channel attention
     # panel (eval/visualize.py) for the first ocl-1 eval batch at each eval
     # boundary: TensorBoard image + PNG under ckpt_dir/visuals. Makes the
@@ -203,6 +207,7 @@ def parse_args(argv: Optional[List[str]] = None, *, make_dirs: bool = True) -> O
     p.add_argument("--save_freq", type=int, default=defaults.save_freq)
     p.add_argument("--print_freq", type=int, default=defaults.print_freq)
     p.add_argument("--eval_freq", type=int, default=defaults.eval_freq)
+    p.add_argument("--report_roc", type=int, default=defaults.report_roc)
     p.add_argument("--visualize", type=int, default=defaults.visualize)
     p.add_argument("--mesh_data", type=int, default=defaults.mesh_data)
     p.add_argument("--mesh_model", type=int, default=defaults.mesh_model)

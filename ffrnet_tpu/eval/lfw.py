@@ -163,3 +163,56 @@ def tar_at_far(scores, labels, far_targets=(1e-3, 1e-2)):
     order = np.argsort(fpr)
     fpr, tpr = fpr[order], tpr[order]
     return {float(f): float(np.interp(f, fpr, tpr)) for f in far_targets}
+
+
+def exact_roc(scores, labels):
+    """Exact ROC from the empirical score distribution (host-side numpy).
+
+    Unlike roc_curve's fixed 400-point protocol grid, thresholds here are
+    the unique scores themselves, so every achievable (FPR, TPR) operating
+    point appears — needed for TAR at small FARs, EER, and AUC. Framework
+    extra beyond the reference (fold accuracy only, lfw/lfw_eval.py:137-162).
+    Returns (fpr, tpr) arrays ascending in FPR, including (0,0) and (1,1).
+    """
+    scores = np.asarray(scores, np.float64)
+    pos = np.asarray(labels) > 0
+    n_pos = max(int(pos.sum()), 1)
+    n_neg = max(int((~pos).sum()), 1)
+    # descending scores: prefix sums give (TP, FP) when thresholding just
+    # below each score; collapse ties so curve points are unique thresholds
+    order = np.argsort(-scores, kind="stable")
+    s, p = scores[order], pos[order]
+    tp = np.cumsum(p)
+    fp = np.cumsum(~p)
+    last_of_tie = np.r_[s[1:] != s[:-1], True]
+    tpr = np.r_[0.0, tp[last_of_tie] / n_pos]
+    fpr = np.r_[0.0, fp[last_of_tie] / n_neg]
+    return fpr, tpr
+
+
+def roc_metrics(scores, labels, far_targets=(1e-3, 1e-2, 1e-1)):
+    """Operating-point summary of a verification run (host-side).
+
+    Returns {"tar@far": {far: tar}, "eer": e, "auc": a} from the exact
+    empirical ROC. EER is the crossing of FPR and FNR=1-TPR along the
+    curve (linear interpolation); AUC by trapezoid. Framework extra —
+    the reference reports 10-fold accuracy only (lfw/lfw_eval.py:272-287).
+    """
+    fpr, tpr = exact_roc(scores, labels)
+    tar = {float(f): float(np.interp(f, fpr, tpr)) for f in far_targets}
+    trapezoid = getattr(np, "trapezoid", np.trapz)
+    auc = float(trapezoid(tpr, fpr))
+    # EER: fnr - fpr decreases monotonically in the sweep direction where
+    # fpr ascends; find the sign change and interpolate
+    fnr = 1.0 - tpr
+    diff = fnr - fpr
+    k = int(np.searchsorted(-diff, 0.0))  # first index with diff <= 0
+    if k == 0:
+        eer = float(fpr[0])
+    elif k >= len(fpr):
+        eer = float(fpr[-1])
+    else:
+        d0, d1 = diff[k - 1], diff[k]
+        t = 0.0 if d0 == d1 else d0 / (d0 - d1)
+        eer = float(fpr[k - 1] + t * (fpr[k] - fpr[k - 1]))
+    return {"tar@far": tar, "eer": eer, "auc": auc}

@@ -44,6 +44,27 @@ def top_k_identify(probe_emb, gallery_emb, *, k: int = 1,
     return jax.lax.top_k(sims, k)
 
 
+@partial(jax.jit, static_argnames=("max_rank",))
+def cmc_from_embeddings(probe_emb, probe_ids, gallery_emb, gallery_ids, *,
+                        max_rank: int = 10):
+    """Cumulative match characteristic over integer identity ids.
+
+    -> (max_rank,) float32: CMC[r] = fraction of probes whose true identity
+    appears among the top r+1 cosine matches. The standard 1:N closed-set
+    identification metric — a framework extra (the reference has no
+    identification eval at all; 1:1 verification only,
+    lfw/lfw_eval.py:226-259). One (P, G) matmul + top_k, same MXU shape as
+    top_k_identify.
+    """
+    p = ops.l2_normalize(probe_emb.astype(jnp.float32), axis=1)
+    g = ops.l2_normalize(gallery_emb.astype(jnp.float32), axis=1)
+    sims = jnp.matmul(p, g.T, preferred_element_type=jnp.float32)
+    _, idx = jax.lax.top_k(sims, max_rank)            # (P, R)
+    match = gallery_ids[idx] == probe_ids[:, None]    # (P, R) bool
+    hit = jnp.cumsum(match.astype(jnp.int32), axis=1) > 0
+    return hit.astype(jnp.float32).mean(axis=0)
+
+
 @dataclass
 class Gallery:
     """Enrolled identities: embeddings (G, D) on device + parallel labels."""
@@ -88,6 +109,26 @@ class Gallery:
             return cls(jnp.asarray(z["embeddings"]),
                        [x.item() if hasattr(x, "item") else x
                         for x in z["labels"]])
+
+    def cmc(self, model, probe_images, probe_labels, *, max_rank: int = 10,
+            rectified: bool = True):
+        """Closed-set identification CMC of `probe_images` (with true
+        labels) against this gallery -> (max_rank,) numpy array.
+        Labels may be any hashables; they are interned to ids against the
+        gallery's label set (probes whose identity is not enrolled can
+        never match — standard closed-set protocol assumes they are)."""
+        import numpy as np
+
+        max_rank = min(max_rank, len(self.labels))
+        intern = {lab: i for i, lab in enumerate(dict.fromkeys(self.labels))}
+        gal_ids = jnp.asarray([intern[lab] for lab in self.labels],
+                              jnp.int32)
+        probe_ids = jnp.asarray([intern.get(lab, -1) for lab in probe_labels],
+                                jnp.int32)
+        raw, rect = model.embed(probe_images)
+        return np.asarray(cmc_from_embeddings(
+            rect if rectified else raw, probe_ids, self.embeddings, gal_ids,
+            max_rank=max_rank))
 
     def search(self, model, probe_images, *, k: int = 1,
                rectified: bool = True) -> Tuple[Any, list]:

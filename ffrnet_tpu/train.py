@@ -162,7 +162,8 @@ def make_eval_batches(opts: Options, ocl_num: int, batch_size: int,
 
 
 def eval_lfw(opts: Options, enc, rec, ocl_num: int, cfg, score_fn=None,
-             dump_wrong_to: Optional[str] = None, placement=None):
+             dump_wrong_to: Optional[str] = None, placement=None,
+             metrics_out: Optional[dict] = None):
     """(acc_new, acc) at the given occlusion count (train.py:101-113).
 
     dump_wrong_to: when set, write each misclassified pair's images under
@@ -170,6 +171,10 @@ def eval_lfw(opts: Options, enc, rec, ocl_num: int, cfg, score_fn=None,
     save_wrong_imgs hook (lfw/lfw_eval.py:120-135) wired end-to-end.
     placement: optional device/sharding for the eval batches (must match
     where enc/rec live — see make_eval_batches).
+    metrics_out: when a dict is passed, it is filled with operating-point
+    metrics {"new"/"raw": {"tar@far", "eer", "auc"}} from the exact
+    empirical ROC (eval/lfw.py::roc_metrics) — a framework extra; the
+    reference reports fold accuracy only (lfw/lfw_eval.py:272-287).
     """
     multiproc = jax.process_count() > 1
     if placement is None and not multiproc:
@@ -192,14 +197,23 @@ def eval_lfw(opts: Options, enc, rec, ocl_num: int, cfg, score_fn=None,
                                   cfg=cfg.recnet, score_fn=score_fn,
                                   return_scores=return_scores)
 
-    if dump_wrong_to is None or (multiproc and jax.process_index() != 0):
+    want_dump = dump_wrong_to is not None and (
+        not multiproc or jax.process_index() == 0)
+    if not want_dump and metrics_out is None:
         res_new, res_raw = run(False)[:2]
+        return float(res_new.mean_accuracy), float(res_raw.mean_accuracy)
+
+    res_new, res_raw, s_new, s_raw, labels = run(True)
+    if metrics_out is not None:
+        from ffrnet_tpu.eval.lfw import roc_metrics
+
+        metrics_out["new"] = roc_metrics(s_new, labels)
+        metrics_out["raw"] = roc_metrics(s_raw, labels)
+    if not want_dump:
         return float(res_new.mean_accuracy), float(res_raw.mean_accuracy)
 
     from ffrnet_tpu.eval.lfw import misclassified_indices
     from ffrnet_tpu.eval.runner import save_wrong_images
-
-    res_new, res_raw, s_new, s_raw, labels = run(True)
     dump_ds = LfwPairs(opts.test_data, opts.test_pair_list,
                        test_ocl_num=ocl_num, flip_prob=0.0)
     for scores, res, sub in ((s_new, res_new, "wrong_images_new"),
@@ -573,12 +587,24 @@ def test(opts: Options) -> None:
     score_fn = make_pair_score_fn(cfg.recnet)
     dump_dir = opts.ckpt_dir if opts.save_wrong else None
     for ocl in range(3):
+        metrics = {} if opts.report_roc else None
         acc_new, acc = eval_lfw(opts, (enc_params, enc_state),
                                 (params, model_state), ocl, cfg, score_fn,
-                                dump_wrong_to=dump_dir)
+                                dump_wrong_to=dump_dir, metrics_out=metrics)
         logger.record_scalar({"acc": acc}, f"test_acc/ocl{ocl}")
         logger.record_scalar({"acc_new": acc_new}, f"test_acc_new/ocl{ocl}")
         print(f"test result ocl{ocl}: acc_new {acc_new:.4f} acc {acc:.4f}")
+        if metrics:
+            for kind in ("new", "raw"):
+                m = metrics[kind]
+                logger.record_scalar(
+                    {"eer": m["eer"], "auc": m["auc"],
+                     **{f"tar@far{f:g}": t for f, t in m["tar@far"].items()}},
+                    f"test_roc_{kind}/ocl{ocl}")
+                tars = " ".join(f"tar@{f:g} {t:.4f}"
+                                for f, t in sorted(m["tar@far"].items()))
+                print(f"test roc ocl{ocl} [{kind}]: eer {m['eer']:.4f} "
+                      f"auc {m['auc']:.4f} {tars}")
     logger.close()
 
 

@@ -59,6 +59,7 @@ def test_full_test_phase(tmp_path):
         "--encoder_weights", "/nonexistent",
         "--nThread", "2",
         "--save_wrong", "1",
+        "--report_roc", "1",
     ])
 
     # save_wrong wiring: random weights misclassify SOME pairs -> dumps
@@ -78,5 +79,18 @@ def test_full_test_phase(tmp_path):
     assert any("ocl0" in k for k in keys)
     assert any("ocl2" in k for k in keys)
     for k in keys:
+        for v in data[k]["values"]:
+            assert 0.0 <= v <= 1.0
+
+    # --report_roc 1: exact-ROC operating points per ocl for both kinds
+    roc_keys = [k for k in data if k.startswith("test_roc_")]
+    for kind in ("new", "raw"):
+        for ocl in range(3):
+            prefix = f"test_roc_{kind}/ocl{ocl}"
+            have = [k for k in roc_keys if k.startswith(prefix)]
+            assert any("eer" in k for k in have), (prefix, roc_keys)
+            assert any("auc" in k for k in have)
+            assert any("tar@far" in k for k in have)
+    for k in roc_keys:
         for v in data[k]["values"]:
             assert 0.0 <= v <= 1.0

@@ -217,3 +217,40 @@ def test_roc_and_tar_at_far():
 
     tar = tar_at_far(scores, labels, far_targets=(0.01, 0.1))
     assert 0.0 <= tar[0.01] <= tar[0.1] <= 1.0
+
+
+def test_exact_roc_and_metrics():
+    """exact_roc / roc_metrics vs a brute-force sweep over unique scores."""
+    from ffrnet_tpu.eval.lfw import exact_roc, roc_metrics
+
+    rng = np.random.default_rng(7)
+    labels = (rng.uniform(size=500) > 0.5).astype(np.int64)
+    scores = np.where(labels > 0, rng.normal(0.5, 0.25, 500),
+                      rng.normal(-0.1, 0.25, 500)).astype(np.float32)
+    # force ties so the tie-collapse path is exercised
+    scores[:50] = np.round(scores[:50], 1)
+
+    fpr, tpr = exact_roc(scores, labels)
+    assert fpr[0] == tpr[0] == 0.0 and fpr[-1] == tpr[-1] == 1.0
+    assert np.all(np.diff(fpr) >= 0) and np.all(np.diff(tpr) >= 0)
+    pos, neg = labels > 0, labels == 0
+    # brute force: threshold just below each unique score (predict >= s)
+    exp = {(0.0, 0.0)}
+    for s in np.unique(scores):
+        exp.add((float((scores[neg] >= s).mean()),
+                 float((scores[pos] >= s).mean())))
+    got = set(zip(map(float, fpr), map(float, tpr)))
+    assert got == exp
+
+    m = roc_metrics(scores, labels, far_targets=(1e-2, 1e-1))
+    assert set(m) == {"tar@far", "eer", "auc"}
+    assert 0.0 <= m["tar@far"][0.01] <= m["tar@far"][0.1] <= 1.0
+    # well-separated classes: strong AUC, small EER; and EER sits where
+    # interpolated FPR == FNR along the curve
+    assert m["auc"] > 0.9 and m["eer"] < 0.2
+    fnr_at = 1.0 - np.interp(m["eer"], fpr, tpr)
+    assert abs(fnr_at - m["eer"]) < 0.02
+
+    # degenerate single-class inputs stay finite
+    m_pos = roc_metrics(np.array([0.1, 0.2]), np.array([1, 1]))
+    assert np.isfinite(m_pos["eer"]) and np.isfinite(m_pos["auc"])

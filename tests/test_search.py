@@ -68,6 +68,48 @@ def test_gallery_save_load_roundtrip(tmp_path):
     assert [r[0] for r in found] == ["b", "c"]
 
 
+def test_cmc_from_embeddings_matches_numpy():
+    from ffrnet_tpu.eval.search import cmc_from_embeddings
+
+    rng = np.random.default_rng(5)
+    g = rng.standard_normal((30, 64)).astype(np.float32)
+    gal_ids = np.repeat(np.arange(10), 3).astype(np.int32)  # 3 imgs/identity
+    p = rng.standard_normal((20, 64)).astype(np.float32)
+    probe_ids = rng.integers(0, 10, 20).astype(np.int32)
+
+    cmc = np.asarray(cmc_from_embeddings(jnp.asarray(p),
+                                         jnp.asarray(probe_ids),
+                                         jnp.asarray(g),
+                                         jnp.asarray(gal_ids), max_rank=7))
+    # brute force: rank of the first gallery entry with the right identity
+    pn = p / np.linalg.norm(p, axis=1, keepdims=True)
+    gn = g / np.linalg.norm(g, axis=1, keepdims=True)
+    order = np.argsort(-(pn @ gn.T), axis=1)  # (P, G)
+    first = np.array([
+        int(np.nonzero(gal_ids[order[i]] == probe_ids[i])[0][0])
+        for i in range(20)])
+    exp = [(first <= r).mean() for r in range(7)]
+    np.testing.assert_allclose(cmc, exp, atol=1e-6)
+    assert np.all(np.diff(cmc) >= 0)  # CMC is nondecreasing in rank
+
+
+def test_gallery_cmc_end_to_end():
+    from ffrnet_tpu.eval.search import Gallery
+
+    model = FFRNet.random(0)
+    rng = np.random.default_rng(6)
+    enroll = rng.uniform(-1, 1, (6, 112, 112, 3)).astype(np.float32)
+    labels = [f"id{i}" for i in range(6)]
+    gal = Gallery.build(model, enroll, labels, batch_size=4)
+    # enrolled images probe themselves: rank-1 perfect, max_rank clamps
+    cmc = gal.cmc(model, enroll, labels, max_rank=99)
+    assert cmc.shape == (6,)
+    np.testing.assert_allclose(cmc, 1.0, atol=1e-6)
+    # an un-enrolled identity can never match (closed-set)
+    cmc_miss = gal.cmc(model, enroll[:2], ["ghost", "ghost2"], max_rank=6)
+    np.testing.assert_allclose(cmc_miss, 0.0, atol=1e-6)
+
+
 def test_top_k_valid_mask_is_traced():
     # serving depends on `valid` being traced (capacity padding must not
     # trigger a recompile per enroll) and masked rows scoring below -1
