@@ -66,9 +66,13 @@ class FFRNet:
         rec_p, rec_s = recnet.init(jax.random.PRNGKey(seed + 1), cfg)
         return cls(enc_p, enc_s, rec_p, rec_s, cfg).prepare(dtype=dtype)
 
-    def prepare(self, *, fold_bn: bool = False, dtype=None) -> "FFRNet":
+    def prepare(self, *, fold_bn: bool = False, dtype=None,
+                quantize_int8: bool = False) -> "FFRNet":
         """BN-fold the frozen encoder and/or cast to a compute dtype; puts
-        all leaves on device."""
+        all leaves on device. `quantize_int8=True` additionally converts
+        the encoder's body convs + output Linear to the int8 MXU path
+        (models/quantize.py) — opt-in, accuracy/perf tradeoff measured in
+        BASELINE.md "Int8 encoder"."""
         from ffrnet_tpu.ops.nn import tree_cast_floats
 
         enc_p, enc_s = self.enc_params, self.enc_state
@@ -79,6 +83,12 @@ class FFRNet:
         trees = jax.tree.map(
             jnp.asarray, (enc_p, enc_s, self.rec_params, self.rec_state))
         trees = tree_cast_floats(trees, dtype)
+        if quantize_int8:
+            from ffrnet_tpu.models.quantize import quantize_encoder_params
+
+            enc_p_c, enc_s_c, rec_p_c, rec_s_c = trees
+            trees = (quantize_encoder_params(enc_p_c), enc_s_c,
+                     rec_p_c, rec_s_c)
         if self.batch_sharding is not None:
             # keep a sharded model sharded: re-replicate the rebuilt trees
             # over the same mesh instead of silently dropping to one device

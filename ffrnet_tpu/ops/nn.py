@@ -64,6 +64,11 @@ def conv2d(x, w, b=None, *, stride=1, padding=0, groups=1):
     padding: int (symmetric zero pad), string ('SAME'/'VALID'), or explicit
     [(lo, hi), (lo, hi)].
     """
+    if isinstance(w, dict):  # int8-quantized weight leaf (ops/quant.py)
+        from ffrnet_tpu.ops import quant
+
+        return quant.conv2d_int8(x, w, b, stride=stride, padding=padding,
+                                 groups=groups)
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(padding, int):
@@ -84,6 +89,10 @@ def conv2d(x, w, b=None, *, stride=1, padding=0, groups=1):
 
 def linear(x, w, b=None):
     """Dense layer with torch-layout weight (out_features, in_features)."""
+    if isinstance(w, dict):  # int8-quantized weight leaf (ops/quant.py)
+        from ffrnet_tpu.ops import quant
+
+        return quant.linear_int8(x, w, b)
     y = jnp.matmul(x, w.T, preferred_element_type=x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)

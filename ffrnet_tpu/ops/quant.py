@@ -1,0 +1,121 @@
+"""Int8 quantized inference ops for the TPU MXU int8 path.
+
+The v5e MXU executes int8 x int8 -> int32 dot products at 2x the bf16
+rate (97.7 TOPS vs 49.6 TFLOP/s), the one remaining measured headroom on
+the frozen IR-SE50 encoder after it reached ~80% of bf16 peak
+(BASELINE.md "Encoder utilization"). This module provides an OPT-IN
+weight+activation int8 path for frozen inference:
+
+  - weights: symmetric per-output-channel int8 (scale = amax/127 over the
+    receptive field), quantized ONCE on the host at load time;
+  - activations: symmetric per-tensor dynamic int8 (scale from the batch
+    amax inside the graph — no calibration data needed, matches the
+    "dynamic quantization" recipe torch uses for frozen modules);
+  - accumulation: int32 via `preferred_element_type`, dequantized into the
+    caller's activation dtype with the fused (s_x * s_w[c]) multiplier.
+
+Quantized weights live in the SAME pytree slot as the float weight — a
+conv leaf `{"w": f32 HWIO}` becomes `{"w": {"q": int8, "scale": f32}}` —
+so `ops.nn.conv2d` / `ops.nn.linear` transparently dispatch here and the
+model `apply` functions need no changes. Quantization error is bounded by
+tests (per-op relative error and end-to-end embedding cosine) and the
+accuracy/perf tradeoff is measured in BASELINE.md; the default paths stay
+bf16/fp32 everywhere.
+
+The reference has no quantized path (frozen encoder runs fp32 CUDA,
+pretrain/model_ir_se50.py:108-154); this is a beyond-reference serving
+capability.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_CONV_DN = ("NHWC", "HWIO", "NHWC")
+_QMAX = 127.0
+_EPS = 1e-12
+
+
+def is_quantized(w) -> bool:
+    """True if `w` is a quantized-weight dict (the pytree leaf contract)."""
+    return isinstance(w, dict) and "q" in w and "scale" in w
+
+
+def quantize_weight(w, *, channel_axis: int = -1):
+    """Symmetric per-channel int8 quantization of a float weight.
+
+    channel_axis: the output-channel axis (HWIO convs: -1; torch-layout
+    Linear (out, in): 0). Returns {"q": int8, "scale": f32 (cout,)} with
+    dequantization w ~= q * scale broadcast over channel_axis.
+    """
+    w = jnp.asarray(w, jnp.float32)
+    axis = channel_axis % w.ndim
+    reduce_axes = tuple(a for a in range(w.ndim) if a != axis)
+    amax = jnp.max(jnp.abs(w), axis=reduce_axes)
+    scale = jnp.maximum(amax, _EPS) / _QMAX
+    shape = [1] * w.ndim
+    shape[axis] = -1
+    q = jnp.clip(jnp.round(w / scale.reshape(shape)), -_QMAX, _QMAX).astype(jnp.int8)
+    return {"q": q, "scale": scale}
+
+
+def _quantize_activation(x):
+    """Dynamic symmetric per-tensor int8: returns (x_q int8, scale f32 scalar)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, _EPS) / _QMAX
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -_QMAX, _QMAX)
+    return x_q.astype(jnp.int8), scale
+
+
+def conv2d_int8(x, wq, b=None, *, stride=1, padding=0, groups=1):
+    """Int8 x int8 -> int32 convolution with fused dequantization.
+
+    Drop-in for ops.nn.conv2d when the weight leaf is quantized; output is
+    in the activation dtype of `x`.
+    """
+    out_dtype = x.dtype
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    x_q, s_x = _quantize_activation(x)
+    y = lax.conv_general_dilated(
+        x_q,
+        wq["q"],
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=_CONV_DN,
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    deq = (s_x * wq["scale"]).astype(jnp.float32)
+    y = y.astype(jnp.float32) * deq.reshape((1, 1, 1, -1))
+    if b is not None:
+        y = y + b.reshape((1, 1, 1, -1)).astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def linear_int8(x, wq, b=None):
+    """Int8 dense layer; weight in torch layout (out, in), per-out-channel scale."""
+    out_dtype = x.dtype
+    x_q, s_x = _quantize_activation(x)
+    y = lax.dot_general(
+        x_q,
+        wq["q"],
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (s_x * wq["scale"]).astype(jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def dequantize_weight(wq, *, channel_axis: int = -1):
+    """Recover the float weight (round-trip helper for tests/tools)."""
+    q = wq["q"].astype(jnp.float32)
+    shape = [1] * q.ndim
+    shape[channel_axis % q.ndim] = -1
+    return q * wq["scale"].reshape(shape)

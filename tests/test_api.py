@@ -106,3 +106,23 @@ def test_embed_files_full_ingest(tmp_path):
     np.testing.assert_allclose(np.asarray(raw[0]), np.asarray(raw[1]),
                                atol=1e-6)
     np.testing.assert_allclose(float(jnp.linalg.norm(raw[0])), 1.0, atol=1e-4)
+
+
+def test_prepare_quantize_int8(model):
+    """Opt-in int8 encoder (models/quantize.py) through the facade: folded
+    + quantized model tracks the float model's embeddings closely."""
+    from ffrnet_tpu.ops import quant
+
+    qmodel = model.prepare(fold_bn=True, quantize_int8=True)
+    assert quant.is_quantized(qmodel.enc_params["body"][0]["res"]["conv1"]["w"])
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (2, 112, 112, 3)).astype(np.float32))
+    raw_f, rect_f = model.embed(imgs)
+    raw_q, rect_q = qmodel.embed(imgs)
+    cos = np.sum(np.asarray(raw_f) * np.asarray(raw_q), axis=1)
+    assert (cos > 0.99).all(), cos
+    # rectified path (RecNet stays float) also tracks
+    cos_r = np.sum(np.asarray(rect_f) * np.asarray(rect_q), axis=1) / (
+        np.linalg.norm(np.asarray(rect_f), axis=1)
+        * np.linalg.norm(np.asarray(rect_q), axis=1))
+    assert (cos_r > 0.98).all(), cos_r
