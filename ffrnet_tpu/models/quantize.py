@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import copy
 
+import numpy as np
+
 from ffrnet_tpu.ops import quant
 
 
@@ -57,4 +59,66 @@ def quantize_encoder_params(params, *, quantize_linear: bool = True):
             outp["linear"]["w"] = quant.quantize_weight(
                 outp["linear"]["w"], channel_axis=0)
         out["output"] = outp
+    return out
+
+
+def _quantized_leaves_in_exec_order(qparams):
+    """Quantized weight leaves in `irse.apply` execution order: per unit
+    shortcut -> conv1 -> conv2 (irse.py::_apply_unit computes the shortcut
+    first), then the output linear."""
+    leaves = []
+    for unit in qparams["body"]:
+        if "shortcut" in unit and quant.is_quantized(unit["shortcut"]["conv"]["w"]):
+            leaves.append(unit["shortcut"]["conv"]["w"])
+        for name in ("conv1", "conv2"):
+            if quant.is_quantized(unit["res"][name]["w"]):
+                leaves.append(unit["res"][name]["w"])
+    if quant.is_quantized(qparams["output"]["linear"]["w"]):
+        leaves.append(qparams["output"]["linear"]["w"])
+    return leaves
+
+
+def calibrate_activation_scales(qparams, state, batches, *, margin: float = 1.0,
+                                **apply_kwargs):
+    """Bake static per-tensor activation scales into a quantized tree.
+
+    Runs each calibration batch through the EAGER (un-jitted) quantized
+    encoder with the dynamic-quant collector armed, takes the max observed
+    activation amax per conv/linear site across batches, and returns a new
+    tree whose quantized leaves carry `x_scale = margin * amax / 127` —
+    removing the per-call amax reduce (a full activation read) from the
+    compiled graph; out-of-range inference values saturate at +/-127.
+
+    `qparams` must be freshly quantized (no x_scale yet — baked leaves
+    skip the collector and would desynchronize the site ordering).
+    Standard post-training static quantization; the reference has no
+    equivalent. Accuracy/perf deltas: BASELINE.md "Int8 encoder".
+    """
+    from ffrnet_tpu.models import irse
+
+    sites = _quantized_leaves_in_exec_order(qparams)
+    if any("x_scale" in s for s in sites):
+        raise ValueError("tree already has baked x_scale leaves; "
+                         "re-quantize before calibrating")
+    per_batch = []
+    for x in batches:
+        quant._calibration_amaxes = rec = []
+        try:
+            irse.apply(qparams, state, x, training=False, **apply_kwargs)
+        finally:
+            quant._calibration_amaxes = None
+        if len(rec) != len(sites):
+            raise AssertionError(
+                f"calibration recorded {len(rec)} amaxes for {len(sites)} "
+                "quantized sites — apply order drifted from the walker")
+        per_batch.append(rec)
+    amax = np.max(np.asarray(per_batch, np.float64), axis=0)
+
+    import jax.numpy as jnp
+
+    out = copy.deepcopy(qparams)
+    for leaf, a in zip(_quantized_leaves_in_exec_order(out), amax):
+        # device scalar, NOT a numpy host leaf: host leaves in jitted-call
+        # args re-upload every call through the relay (CLAUDE.md)
+        leaf["x_scale"] = jnp.float32(max(a, 1e-12) * margin / 127.0)
     return out

@@ -61,11 +61,30 @@ def quantize_weight(w, *, channel_axis: int = -1):
     return {"q": q, "scale": scale}
 
 
-def _quantize_activation(x):
-    """Dynamic symmetric per-tensor int8: returns (x_q int8, scale f32 scalar)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    scale = jnp.maximum(amax, _EPS) / _QMAX
-    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -_QMAX, _QMAX)
+# When not None, a list collecting per-call dynamic activation amaxes in
+# execution order (eager calibration pass; see models/quantize.py::
+# calibrate_activation_scales). Single-threaded eager use only.
+_calibration_amaxes = None
+
+
+def _quantize_activation(x, x_scale=None):
+    """Symmetric per-tensor int8 activation quantization.
+
+    x_scale=None: dynamic (scale from this batch's amax — an extra full
+    read of the activation). x_scale given (a calibrated static scalar,
+    baked as the weight leaf's "x_scale"): the amax reduce disappears
+    from the graph; values beyond the calibrated range saturate at +/-127
+    (standard PTQ clipping).
+    """
+    xf = x.astype(jnp.float32)
+    if x_scale is None:
+        amax = jnp.max(jnp.abs(xf))
+        if _calibration_amaxes is not None:
+            _calibration_amaxes.append(float(amax))
+        scale = jnp.maximum(amax, _EPS) / _QMAX
+    else:
+        scale = jnp.maximum(jnp.asarray(x_scale, jnp.float32), _EPS)
+    x_q = jnp.clip(jnp.round(xf / scale), -_QMAX, _QMAX)
     return x_q.astype(jnp.int8), scale
 
 
@@ -80,7 +99,7 @@ def conv2d_int8(x, wq, b=None, *, stride=1, padding=0, groups=1):
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
-    x_q, s_x = _quantize_activation(x)
+    x_q, s_x = _quantize_activation(x, wq.get("x_scale"))
     y = lax.conv_general_dilated(
         x_q,
         wq["q"],
@@ -100,7 +119,7 @@ def conv2d_int8(x, wq, b=None, *, stride=1, padding=0, groups=1):
 def linear_int8(x, wq, b=None):
     """Int8 dense layer; weight in torch layout (out, in), per-out-channel scale."""
     out_dtype = x.dtype
-    x_q, s_x = _quantize_activation(x)
+    x_q, s_x = _quantize_activation(x, wq.get("x_scale"))
     y = lax.dot_general(
         x_q,
         wq["q"],

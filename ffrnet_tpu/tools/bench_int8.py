@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument("--dtype", type=str, default="bf16",
                    choices=["fp32", "bf16"])
     p.add_argument("--quant_linear", type=int, default=1)
+    p.add_argument("--static_scales", type=int, default=0,
+                   help="also duel calibrated static activation scales")
     args = p.parse_args(argv)
 
     import jax
@@ -66,6 +68,23 @@ def main(argv=None):
     f_float = partial(fwd, params)
     f_int8 = partial(fwd, qparams)
 
+    sparams = None
+    if args.static_scales:
+        from ffrnet_tpu.models.quantize import calibrate_activation_scales
+
+        # calibrate EAGER on host CPU (eager TPU dispatch pays per-op RTT
+        # through the relay); only the baked scalar scales ship to device
+        cpu = jax.devices("cpu")[0]
+        host_q, host_s = jax.device_get((qparams, state))
+        xcal = np.random.default_rng(2).uniform(
+            -1.0, 1.0, (16, 112, 112, 3)).astype(np.float32)
+        with jax.default_device(cpu):
+            cal = calibrate_activation_scales(
+                jax.tree.map(jnp.asarray, host_q),
+                jax.tree.map(jnp.asarray, host_s), [jnp.asarray(xcal)])
+        sparams = jax.device_put(jax.device_get(cal))
+    f_static = partial(fwd, sparams) if sparams is not None else None
+
     # accuracy agreement on identical inputs (one fetch)
     emb_f = np.asarray(jax.jit(f_float)(x), np.float32)
     emb_q = np.asarray(jax.jit(f_int8)(x), np.float32)
@@ -73,10 +92,12 @@ def main(argv=None):
         np.linalg.norm(emb_f, axis=1) * np.linalg.norm(emb_q, axis=1), 1e-12)
 
     # interleaved A/B rounds: relay throughput swings, min-of-rounds per side
-    ms_f, ms_q = [], []
+    ms_f, ms_q, ms_s = [], [], []
     for _ in range(args.rounds):
         ms_f.append(time_op(f_float, x, iters=args.iters))
         ms_q.append(time_op(f_int8, x, iters=args.iters))
+        if f_static is not None:
+            ms_s.append(time_op(f_static, x, iters=args.iters))
     best_f, best_q = min(ms_f), min(ms_q)
 
     out = {
@@ -93,6 +114,18 @@ def main(argv=None):
         "rounds_ms_float": [round(v, 3) for v in ms_f],
         "rounds_ms_int8": [round(v, 3) for v in ms_q],
     }
+    if ms_s:
+        emb_s = np.asarray(jax.jit(f_static)(x), np.float32)
+        cos_s = (emb_f * emb_s).sum(1) / np.maximum(
+            np.linalg.norm(emb_f, axis=1) * np.linalg.norm(emb_s, axis=1),
+            1e-12)
+        best_s = min(ms_s)
+        out.update({
+            "encoder_ms_int8_static": round(best_s, 3),
+            "speedup_static": round(best_f / max(best_s, 1e-9), 3),
+            "embed_cos_mean_static": float(np.mean(cos_s)),
+            "rounds_ms_int8_static": [round(v, 3) for v in ms_s],
+        })
     print(json.dumps(out))
 
 

@@ -99,3 +99,32 @@ def test_encoder_int8_embeddings_track_float():
     cos = np.sum(np.asarray(emb_f) * np.asarray(emb_q), axis=1)
     assert (cos > 0.99).all(), cos
     assert _rel_err(feat_f, feat_q) < 0.1
+
+
+def test_static_activation_scales():
+    """Calibrated static scales (models/quantize.py::calibrate_activation_
+    scales) reproduce the dynamic-quant outputs on the calibration data and
+    work under jit (no amax reduce left in the graph)."""
+    import pytest
+
+    from ffrnet_tpu.models.quantize import calibrate_activation_scales
+
+    params, state = irse.init(jax.random.PRNGKey(11), num_layers=50)
+    qp = quantize_encoder_params(params)
+    x = jax.random.uniform(jax.random.PRNGKey(12), (2, 112, 112, 3),
+                           minval=-1, maxval=1)
+    sp = calibrate_activation_scales(qp, state, [x])
+    # every quantized leaf got a device-scalar x_scale
+    from ffrnet_tpu.models.quantize import _quantized_leaves_in_exec_order
+    leaves = _quantized_leaves_in_exec_order(sp)
+    assert leaves and all("x_scale" in l for l in leaves)
+    # calibrated on the same batch with margin=1 -> scales match the
+    # dynamic ones -> embeddings agree tightly
+    _, emb_dyn, _ = irse.apply(qp, state, x, training=False)
+    _, emb_sta, _ = jax.jit(
+        lambda p, xx: irse.apply(p, state, xx, training=False))(sp, x)
+    cos = np.sum(np.asarray(emb_dyn) * np.asarray(emb_sta), axis=1)
+    assert (cos > 0.999).all(), cos
+    # re-calibrating a baked tree is an error (site ordering would drift)
+    with pytest.raises(ValueError):
+        calibrate_activation_scales(sp, state, [x])
