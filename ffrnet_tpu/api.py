@@ -78,7 +78,15 @@ class FFRNet:
         enc_p, enc_s = self.enc_params, self.enc_state
         if fold_bn:
             from ffrnet_tpu.models.optimize import fold_backbone_bn
+            from ffrnet_tpu.ops import quant
 
+            if quant.tree_has_quantized(enc_p):
+                raise ValueError(
+                    "prepare(fold_bn=True) on an already-int8-quantized "
+                    "encoder: BN folding rewrites float conv weights and "
+                    "cannot be applied to int8 leaves. Fold BEFORE "
+                    "quantizing (prepare(fold_bn=True, quantize_int8=True) "
+                    "from a float model does both in the right order).")
             enc_p, enc_s = fold_backbone_bn(enc_p, enc_s)
         trees = jax.tree.map(
             jnp.asarray, (enc_p, enc_s, self.rec_params, self.rec_state))

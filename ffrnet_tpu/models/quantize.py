@@ -25,8 +25,6 @@ from __future__ import annotations
 
 import copy
 
-import numpy as np
-
 from ffrnet_tpu.ops import quant
 
 
@@ -62,10 +60,10 @@ def quantize_encoder_params(params, *, quantize_linear: bool = True):
     return out
 
 
-def _quantized_leaves_in_exec_order(qparams):
-    """Quantized weight leaves in `irse.apply` execution order: per unit
-    shortcut -> conv1 -> conv2 (irse.py::_apply_unit computes the shortcut
-    first), then the output linear."""
+def _quantized_leaves(qparams):
+    """All quantized weight leaves of an irse params tree (walker order;
+    calibration matches collectors to sites BY LEAF, so the order here
+    carries no semantic weight)."""
     leaves = []
     for unit in qparams["body"]:
         if "shortcut" in unit and quant.is_quantized(unit["shortcut"]["conv"]["w"]):
@@ -83,42 +81,48 @@ def calibrate_activation_scales(qparams, state, batches, *, margin: float = 1.0,
     """Bake static per-tensor activation scales into a quantized tree.
 
     Runs each calibration batch through the EAGER (un-jitted) quantized
-    encoder with the dynamic-quant collector armed, takes the max observed
-    activation amax per conv/linear site across batches, and returns a new
-    tree whose quantized leaves carry `x_scale = margin * amax / 127` —
-    removing the per-call amax reduce (a full activation read) from the
-    compiled graph; out-of-range inference values saturate at +/-127.
+    encoder with a per-leaf amax collector armed (quant.CALIBRATION_KEY —
+    each quantized weight leaf records the amaxes of ITS OWN activation, so
+    there is no execution-order contract to drift), takes the max observed
+    amax per site across batches, and returns a new tree whose quantized
+    leaves carry `x_scale = margin * amax / 127` — removing the per-call
+    amax reduce (a full activation read) from the compiled graph AND the
+    dynamic path's batch-composition dependence; inference values beyond
+    the calibrated range saturate at +/-127 (standard PTQ clipping —
+    tests/test_quant.py bounds the held-out accuracy cost).
 
-    `qparams` must be freshly quantized (no x_scale yet — baked leaves
-    skip the collector and would desynchronize the site ordering).
-    Standard post-training static quantization; the reference has no
-    equivalent. Accuracy/perf deltas: BASELINE.md "Int8 encoder".
+    `qparams` must be freshly quantized (no x_scale yet — a baked leaf's
+    site never computes a dynamic amax to record). Standard post-training
+    static quantization; the reference has no equivalent. Accuracy/perf
+    deltas: BASELINE.md "Int8 encoder".
     """
-    from ffrnet_tpu.models import irse
-
-    sites = _quantized_leaves_in_exec_order(qparams)
-    if any("x_scale" in s for s in sites):
-        raise ValueError("tree already has baked x_scale leaves; "
-                         "re-quantize before calibrating")
-    per_batch = []
-    for x in batches:
-        quant._calibration_amaxes = rec = []
-        try:
-            irse.apply(qparams, state, x, training=False, **apply_kwargs)
-        finally:
-            quant._calibration_amaxes = None
-        if len(rec) != len(sites):
-            raise AssertionError(
-                f"calibration recorded {len(rec)} amaxes for {len(sites)} "
-                "quantized sites — apply order drifted from the walker")
-        per_batch.append(rec)
-    amax = np.max(np.asarray(per_batch, np.float64), axis=0)
-
     import jax.numpy as jnp
 
+    from ffrnet_tpu.models import irse
+
+    if any("x_scale" in s for s in _quantized_leaves(qparams)):
+        raise ValueError("tree already has baked x_scale leaves; "
+                         "re-quantize before calibrating")
     out = copy.deepcopy(qparams)
-    for leaf, a in zip(_quantized_leaves_in_exec_order(out), amax):
+    sites = _quantized_leaves(out)
+    for leaf in sites:
+        leaf[quant.CALIBRATION_KEY] = []
+    n_batches = 0
+    try:
+        for x in batches:
+            irse.apply(out, state, x, training=False, **apply_kwargs)
+            n_batches += 1
+    finally:
+        records = [leaf.pop(quant.CALIBRATION_KEY) for leaf in sites]
+    if n_batches == 0:
+        raise ValueError("calibration needs at least one batch")
+    for leaf, rec in zip(sites, records):
+        if len(rec) != n_batches:
+            raise AssertionError(
+                f"a quantized site recorded {len(rec)} amaxes over "
+                f"{n_batches} calibration batches — its op did not run "
+                "exactly once per apply")
         # device scalar, NOT a numpy host leaf: host leaves in jitted-call
         # args re-upload every call through the relay (CLAUDE.md)
-        leaf["x_scale"] = jnp.float32(max(a, 1e-12) * margin / 127.0)
+        leaf["x_scale"] = jnp.float32(max(max(rec), 1e-12) * margin / 127.0)
     return out

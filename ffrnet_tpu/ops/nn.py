@@ -264,12 +264,20 @@ def l2_norm_div(x, axis=-1):
 
 def tree_cast_floats(tree, dtype):
     """Cast floating leaves of a pytree to `dtype` (mixed-precision helper);
-    integer/bool leaves pass through unchanged."""
+    integer/bool leaves pass through unchanged. Int8-quantized weight dicts
+    (ops/quant.py) pass through WHOLE: their f32 'scale'/'x_scale' dequant
+    factors are part of the int8 numerics, and casting them to bf16 would
+    silently degrade int8 accuracy (they never ride a matmul, so keeping
+    them f32 costs nothing)."""
     if dtype is None:
         return tree
+    from ffrnet_tpu.ops import quant
+
     return jax.tree.map(
-        lambda x: x.astype(dtype)
-        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+        lambda x: x if quant.is_quantized(x) else (
+            x.astype(dtype)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x),
+        tree, is_leaf=quant.is_quantized)
 
 
 def images_to_unit_range(x):

@@ -61,26 +61,46 @@ def quantize_weight(w, *, channel_axis: int = -1):
     return {"q": q, "scale": scale}
 
 
-# When not None, a list collecting per-call dynamic activation amaxes in
-# execution order (eager calibration pass; see models/quantize.py::
-# calibrate_activation_scales). Single-threaded eager use only.
-_calibration_amaxes = None
+# Key temporarily inserted into a quantized weight leaf during an eager
+# calibration pass (models/quantize.py::calibrate_activation_scales): a list
+# that collects this site's per-batch activation amaxes. Matching collectors
+# to sites BY LEAF — not by execution order or module-global state — makes
+# calibration robust to any future reordering of `irse.apply`.
+CALIBRATION_KEY = "_amax_collect"
 
 
-def _quantize_activation(x, x_scale=None):
+def tree_has_quantized(tree) -> bool:
+    """True if any leaf of `tree` is a quantized-weight dict."""
+    return any(is_quantized(l) for l in
+               jax.tree.leaves(tree, is_leaf=is_quantized))
+
+
+def _quantize_activation(x, wq):
     """Symmetric per-tensor int8 activation quantization.
 
-    x_scale=None: dynamic (scale from this batch's amax — an extra full
-    read of the activation). x_scale given (a calibrated static scalar,
-    baked as the weight leaf's "x_scale"): the amax reduce disappears
-    from the graph; values beyond the calibrated range saturate at +/-127
-    (standard PTQ clipping).
+    Without a baked `wq["x_scale"]`: dynamic — scale from this batch's amax,
+    an extra full read of the activation, and (NOTE) a batch-composition
+    dependence: a sample's int8 embedding varies slightly with what else is
+    in its batch, since every sample shares the batch-max scale. Calibrated
+    static scales (models/quantize.py::calibrate_activation_scales) remove
+    both the reduce and the nondeterminism; with them, values beyond the
+    calibrated range saturate at +/-127 (standard PTQ clipping).
     """
     xf = x.astype(jnp.float32)
+    x_scale = wq.get("x_scale")
     if x_scale is None:
         amax = jnp.max(jnp.abs(xf))
-        if _calibration_amaxes is not None:
-            _calibration_amaxes.append(float(amax))
+        rec = wq.get(CALIBRATION_KEY)
+        if rec is not None:
+            try:
+                rec.append(float(amax))
+            except jax.errors.ConcretizationTypeError as e:
+                raise RuntimeError(
+                    "int8 activation calibration must run EAGERLY: the "
+                    "calibration pass reads concrete per-batch amax values, "
+                    "which a traced/jitted apply cannot provide. Call "
+                    "calibrate_activation_scales with an un-jitted apply "
+                    "path.") from e
         scale = jnp.maximum(amax, _EPS) / _QMAX
     else:
         scale = jnp.maximum(jnp.asarray(x_scale, jnp.float32), _EPS)
@@ -99,7 +119,7 @@ def conv2d_int8(x, wq, b=None, *, stride=1, padding=0, groups=1):
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
-    x_q, s_x = _quantize_activation(x, wq.get("x_scale"))
+    x_q, s_x = _quantize_activation(x, wq)
     y = lax.conv_general_dilated(
         x_q,
         wq["q"],
@@ -119,7 +139,7 @@ def conv2d_int8(x, wq, b=None, *, stride=1, padding=0, groups=1):
 def linear_int8(x, wq, b=None):
     """Int8 dense layer; weight in torch layout (out, in), per-out-channel scale."""
     out_dtype = x.dtype
-    x_q, s_x = _quantize_activation(x, wq.get("x_scale"))
+    x_q, s_x = _quantize_activation(x, wq)
     y = lax.dot_general(
         x_q,
         wq["q"],

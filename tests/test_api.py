@@ -126,3 +126,22 @@ def test_prepare_quantize_int8(model):
         np.linalg.norm(np.asarray(rect_f), axis=1)
         * np.linalg.norm(np.asarray(rect_q), axis=1))
     assert (cos_r > 0.98).all(), cos_r
+
+
+def test_prepare_on_quantized_model_guards(model):
+    """Re-calling prepare() on an already-quantized model: fold_bn raises a
+    clear error (BN folding cannot rewrite int8 leaves), and a dtype cast
+    keeps the f32 dequant scales intact (ADVICE r2 #1)."""
+    qmodel = model.prepare(fold_bn=True, quantize_int8=True)
+    with pytest.raises(ValueError, match="already-int8-quantized"):
+        qmodel.prepare(fold_bn=True)
+    recast = qmodel.prepare(dtype=jnp.bfloat16)
+    wq = recast.enc_params["body"][0]["res"]["conv1"]["w"]
+    assert wq["q"].dtype == jnp.int8
+    assert wq["scale"].dtype == jnp.float32  # NOT silently bf16
+    # float leaves outside quantized dicts did cast
+    assert recast.enc_params["input"]["conv"]["w"].dtype == jnp.bfloat16
+    # idempotent re-quantization keeps working
+    again = recast.prepare(quantize_int8=True)
+    w2 = again.enc_params["body"][0]["res"]["conv1"]["w"]
+    assert (np.asarray(w2["q"]) == np.asarray(wq["q"])).all()
