@@ -179,6 +179,174 @@ def _pallas_section(dtype):
     return section
 
 
+def _int8_section(enc_params, enc_state, dtype):
+    """bf16 vs dynamic-int8 vs static-int8 frozen-encoder duel, in the
+    driver artifact (VERDICT r2 #2). Interleaved same-session rounds at the
+    bench batch; embedding cosine is measured on a batch HELD OUT from the
+    static-scale calibration set, so saturation clipping is exercised.
+
+    Returns (section, qtree) where qtree is the faster quantized tree —
+    static when it wins, else dynamic — for the int8 pipeline arm.
+    Reference capability being beaten: the frozen fp32 encoder,
+    pretrain/model_ir_se50.py:108-154 (no quantized path exists there).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ffrnet_tpu.models import irse
+    from ffrnet_tpu.models.quantize import (calibrate_activation_scales,
+                                            quantize_encoder_params)
+    from ffrnet_tpu.tools.timing import time_op
+
+    b = BATCH
+    qparams = jax.device_put(quantize_encoder_params(enc_params))
+
+    def fwd(p, xin):
+        _, emb, _ = irse.apply(p, enc_state, xin, training=False)
+        return emb
+
+    # static scales: EAGER calibration on host CPU (eager TPU dispatch pays
+    # per-op RTT through the relay); calibration rng (seed 2) is disjoint
+    # from the eval batch (PRNGKey 1) -> held-out cosines below.
+    # The scales are a pure function of (PRNGKey(0) params, seed-2 data,
+    # dtype), so they are cached in-repo: the eager pass costs minutes on
+    # this image's 1-core CPU and must not burden every driver bench run.
+    section = {"batch": b}
+    sparams = None
+    cache_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".int8_scales.json")
+    cache_key = (f"prng0-fold{os.environ.get('FFRNET_BENCH_FOLD_BN', '1')}"
+                 f"-{DTYPE}-cal8xseed2-ql1-v1")
+    try:
+        from ffrnet_tpu.models.quantize import _quantized_leaves
+
+        scales = None
+        if os.path.exists(cache_file):
+            with open(cache_file) as f:
+                payload = json.load(f)
+            if payload.get("key") == cache_key:
+                scales = payload["x_scales"]
+                section["static_scales_cache"] = "hit"
+        if scales is None:
+            cpu = jax.devices("cpu")[0]
+            host_q, host_s = jax.device_get((qparams, enc_state))
+            xcal = np.random.default_rng(2).uniform(
+                -1.0, 1.0, (8, 112, 112, 3)).astype(np.float32)
+            with jax.default_device(cpu):
+                cal = calibrate_activation_scales(
+                    jax.tree.map(jnp.asarray, host_q),
+                    jax.tree.map(jnp.asarray, host_s),
+                    [jnp.asarray(xcal, dtype)])
+            scales = [float(l["x_scale"]) for l in _quantized_leaves(cal)]
+            with open(cache_file, "w") as f:
+                json.dump({"key": cache_key, "x_scales": scales}, f)
+            section["static_scales_cache"] = "miss (calibrated + saved)"
+        import copy as _copy
+
+        sp = _copy.deepcopy(jax.device_get(qparams))
+        leaves = _quantized_leaves(sp)
+        assert len(leaves) == len(scales), "scale cache/site count mismatch"
+        for leaf, s in zip(leaves, scales):
+            leaf["x_scale"] = jnp.float32(s)
+        sparams = jax.device_put(jax.tree.map(jnp.asarray, sp))
+    except Exception as e:  # pragma: no cover
+        section["static_error"] = repr(e)
+
+    from functools import partial
+
+    x = jax.device_put(jax.random.uniform(
+        jax.random.PRNGKey(1), (b, 112, 112, 3),
+        minval=-1.0, maxval=1.0).astype(dtype))
+    arms = {"bf16": partial(fwd, enc_params), "dynamic": partial(fwd, qparams)}
+    if sparams is not None:
+        arms["static"] = partial(fwd, sparams)
+
+    def cos(a, c):
+        num = (a * c).sum(1)
+        den = np.maximum(np.linalg.norm(a, axis=1) * np.linalg.norm(c, axis=1),
+                         1e-12)
+        return num / den
+
+    emb = {k: np.asarray(jax.jit(f)(x), np.float32) for k, f in arms.items()}
+    for k in arms:
+        if k != "bf16":
+            c = cos(emb["bf16"], emb[k])
+            section[f"cos_mean_{k}"] = round(float(c.mean()), 5)
+            section[f"cos_min_{k}"] = round(float(c.min()), 5)
+
+    ms = {k: [] for k in arms}
+    it8 = int(os.environ.get("FFRNET_BENCH_INT8_ITERS", "8"))
+    for _ in range(2):  # interleaved rounds; min per arm
+        for k, f in arms.items():
+            ms[k].append(time_op(f, x, iters=it8))
+    for k, v in ms.items():
+        section[f"encoder_ms_{k}"] = round(min(v), 3)
+    best_f = section["encoder_ms_bf16"]
+    for k in ("dynamic", "static"):
+        if f"encoder_ms_{k}" in section:
+            section[f"speedup_{k}"] = round(
+                best_f / max(section[f"encoder_ms_{k}"], 1e-9), 3)
+    use_static = (sparams is not None and section.get("encoder_ms_static", 1e9)
+                  <= section.get("encoder_ms_dynamic", 1e9))
+    section["pipeline_arm"] = "static" if use_static else "dynamic"
+    return section, (sparams if use_static else qparams)
+
+
+def _eval_section(dtype):
+    """Single-sync full-LFW-pass wall-clock (VERDICT r2 #2): the complete
+    verification protocol (6000 pairs through encoder+RecNet, raw+rectified
+    scores, 10-fold sweep, ONE host sync) as eval/runner.py runs it at
+    train-time eval cadence. Reference protocol: lfw/lfw_eval.py:226-287."""
+    import jax
+    import jax.numpy as jnp
+
+    from ffrnet_tpu.eval.runner import evaluate_pairs, make_pair_score_fn
+    from ffrnet_tpu.models import irse, recnet
+    from ffrnet_tpu.models.recnet import RecNetConfig
+    from ffrnet_tpu.ops.nn import tree_cast_floats
+
+    cfg = RecNetConfig()
+    enc_p, enc_s = irse.init(jax.random.PRNGKey(0))
+    rec_p, rec_s = recnet.init(jax.random.PRNGKey(1), cfg)
+    if dtype != jnp.float32:
+        enc_p, enc_s, rec_p, rec_s = (tree_cast_floats(t, dtype)
+                                      for t in (enc_p, enc_s, rec_p, rec_s))
+
+    rng = np.random.default_rng(0)
+    n = int(os.environ.get("FFRNET_BENCH_EVAL_PAIRS", "6000"))
+    bs = int(os.environ.get("FFRNET_BENCH_EVAL_BATCH", "250"))
+
+    def synth(shape):
+        # cast to the compute dtype HOST-SIDE (ml_dtypes): halves the bytes
+        # shipped through the relay for the 2x6000-image staging upload
+        a = rng.uniform(-1, 1, shape).astype(np.float32)
+        return jnp.asarray(a.astype(np.dtype(dtype)))
+
+    batches = []
+    for i in range(0, n, bs):
+        batches.append({
+            "img1": synth((bs, 112, 112, 3)),
+            "img2": synth((bs, 112, 112, 3)),
+            "label": rng.integers(0, 2, bs).astype(np.int64),
+        })
+    score = make_pair_score_fn(cfg)
+
+    def one_pass():
+        t0 = time.perf_counter()
+        res_new, res_raw = evaluate_pairs(
+            enc_p, enc_s, rec_p, rec_s, batches, cfg, score_fn=score)
+        float(res_new.mean_accuracy), float(res_raw.mean_accuracy)
+        return time.perf_counter() - t0
+
+    t_compile = one_pass()
+    times = [one_pass() for _ in range(2)]
+    best = min(times)
+    return {"pass_seconds": round(best, 3), "pairs": n, "batch": bs,
+            "pairs_per_sec": round(n / best, 1),
+            "compile_pass_seconds": round(t_compile, 1),
+            "all_times": [round(t, 3) for t in times]}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -260,13 +428,17 @@ def main():
     # for the whole bench). FFRNET_BENCH_FUSED=0 restores the two-program
     # split (faster first compile through the remote service).
     fused = os.environ.get("FFRNET_BENCH_FUSED", "1") == "1"
-    if fused:
-        inner = pipeline
+    inner = pipeline
 
+    def make_fused(enc_p):
         @jax.jit
         def fused_pipeline(raw, landmarks):
-            return inner(enc_params, enc_state, rec_params, rec_state,
+            return inner(enc_p, enc_state, rec_params, rec_state,
                          raw, landmarks)
+        return fused_pipeline
+
+    if fused:
+        fused_pipeline = make_fused(enc_params)
 
         def pipeline(e_p, e_s, r_p, r_s, raw, landmarks):  # noqa: F811
             return fused_pipeline(raw, landmarks)
@@ -320,19 +492,19 @@ def main():
     print(f"[bench] warp: {warp_impl} cfg={warp_cfg}", file=sys.stderr,
           flush=True)
 
-    def run_chain(n_iters):
+    def run_chain(n_iters, fn=None):
         """n dependent pipeline executions, one host sync at the end.
 
         Through a relay/tunnel PJRT client block_until_ready can return
         early, and a device_get pays one RTT — chaining makes device time
         dominate and the single final fetch amortizes the RTT.
         """
+        step = fn or (lambda r, l: pipeline(enc_params, enc_state, rec_params,
+                                            rec_state, r, l))
         token = jnp.float32(0.0)
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            _, _, _, token = pipeline(enc_params, enc_state, rec_params,
-                                      rec_state, raw + token.astype(raw.dtype),
-                                      lmk)
+            _, _, _, token = step(raw + token.astype(raw.dtype), lmk)
         float(jax.device_get(token))
         return time.perf_counter() - t0
 
@@ -367,6 +539,44 @@ def main():
     }
     if pallas_section is not None:
         record["pallas"] = pallas_section
+
+    # --- int8 encoder duel + opt-in int8 pipeline A/B (VERDICT r2 #2/#3) ---
+    if os.environ.get("FFRNET_BENCH_INT8", "1") == "1":
+        try:
+            int8_section, qtree = _int8_section(enc_params, enc_state, dtype)
+            record["int8"] = int8_section
+            print(f"[bench] int8: {int8_section}", file=sys.stderr, flush=True)
+            if fused:
+                # same-session A/B: int8 fused pipeline vs a bf16 recheck
+                int8_pipe = make_fused(qtree)
+                run_chain(1 + WARMUP, fn=int8_pipe)  # compile + warm
+                _mark("int8 pipeline compiled+warm", t0)
+                tq_s = run_chain(2, fn=int8_pipe)
+                tq_l = run_chain(2 + ITERS, fn=int8_pipe)
+                fps_q = BATCH * ITERS / max(tq_l - tq_s, 1e-9)
+                tf_s = run_chain(2)
+                tf_l = run_chain(2 + ITERS)
+                fps_f = BATCH * ITERS / max(tf_l - tf_s, 1e-9)
+                record["int8_pipeline"] = {
+                    "arm": int8_section["pipeline_arm"],
+                    "faces_per_sec_int8": round(fps_q, 2),
+                    "faces_per_sec_bf16_recheck": round(fps_f, 2),
+                    "speedup_vs_recheck": round(fps_q / max(fps_f, 1e-9), 3),
+                }
+                print(f"[bench] int8_pipeline: {record['int8_pipeline']}",
+                      file=sys.stderr, flush=True)
+        except Exception as e:  # pragma: no cover - never lose the headline
+            record.setdefault("int8", {})["error"] = repr(e)
+
+    # --- single-sync LFW eval pass (VERDICT r2 #2) ---
+    if os.environ.get("FFRNET_BENCH_EVAL", "1") == "1":
+        try:
+            record["lfw_eval"] = _eval_section(dtype)
+            print(f"[bench] lfw_eval: {record['lfw_eval']}", file=sys.stderr,
+                  flush=True)
+        except Exception as e:  # pragma: no cover
+            record["lfw_eval"] = {"error": repr(e)}
+
     print(json.dumps(record))
 
 

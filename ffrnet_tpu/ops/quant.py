@@ -90,22 +90,35 @@ def _quantize_activation(x, wq):
     x_scale = wq.get("x_scale")
     if x_scale is None:
         amax = jnp.max(jnp.abs(xf))
-        rec = wq.get(CALIBRATION_KEY)
-        if rec is not None:
-            try:
-                rec.append(float(amax))
-            except jax.errors.ConcretizationTypeError as e:
-                raise RuntimeError(
-                    "int8 activation calibration must run EAGERLY: the "
-                    "calibration pass reads concrete per-batch amax values, "
-                    "which a traced/jitted apply cannot provide. Call "
-                    "calibrate_activation_scales with an un-jitted apply "
-                    "path.") from e
         scale = jnp.maximum(amax, _EPS) / _QMAX
     else:
         scale = jnp.maximum(jnp.asarray(x_scale, jnp.float32), _EPS)
     x_q = jnp.clip(jnp.round(xf / scale), -_QMAX, _QMAX)
     return x_q.astype(jnp.int8), scale
+
+
+def _record_calibration_amax(x, wq) -> bool:
+    """If `wq` carries an armed collector (and no baked scale yet), record
+    this site's activation amax and return True — the caller then runs the
+    op on the DEQUANTIZED float weight instead of the int8 path. The
+    recorded amax is exactly what the dynamic path would use; running the
+    op itself in float is the standard PTQ calibration recipe and is ~30x
+    faster than emulated int8 on the CPU backend the eager calibration
+    pass runs on (models/quantize.py::calibrate_activation_scales)."""
+    rec = wq.get(CALIBRATION_KEY)
+    if rec is None or "x_scale" in wq:
+        return False
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    try:
+        rec.append(float(amax))
+    except jax.errors.ConcretizationTypeError as e:
+        raise RuntimeError(
+            "int8 activation calibration must run EAGERLY: the "
+            "calibration pass reads concrete per-batch amax values, "
+            "which a traced/jitted apply cannot provide. Call "
+            "calibrate_activation_scales with an un-jitted apply "
+            "path.") from e
+    return True
 
 
 def conv2d_int8(x, wq, b=None, *, stride=1, padding=0, groups=1):
@@ -119,18 +132,25 @@ def conv2d_int8(x, wq, b=None, *, stride=1, padding=0, groups=1):
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
-    x_q, s_x = _quantize_activation(x, wq)
-    y = lax.conv_general_dilated(
-        x_q,
-        wq["q"],
-        window_strides=stride,
-        padding=padding,
-        dimension_numbers=_CONV_DN,
-        feature_group_count=groups,
-        preferred_element_type=jnp.int32,
-    )
-    deq = (s_x * wq["scale"]).astype(jnp.float32)
-    y = y.astype(jnp.float32) * deq.reshape((1, 1, 1, -1))
+    if _record_calibration_amax(x, wq):  # calibration: float fast path
+        y = lax.conv_general_dilated(
+            x.astype(jnp.float32), dequantize_weight(wq),
+            window_strides=stride, padding=padding,
+            dimension_numbers=_CONV_DN, feature_group_count=groups,
+            preferred_element_type=jnp.float32)
+    else:
+        x_q, s_x = _quantize_activation(x, wq)
+        y = lax.conv_general_dilated(
+            x_q,
+            wq["q"],
+            window_strides=stride,
+            padding=padding,
+            dimension_numbers=_CONV_DN,
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32,
+        )
+        deq = (s_x * wq["scale"]).astype(jnp.float32)
+        y = y.astype(jnp.float32) * deq.reshape((1, 1, 1, -1))
     if b is not None:
         y = y + b.reshape((1, 1, 1, -1)).astype(jnp.float32)
     return y.astype(out_dtype)
@@ -139,14 +159,20 @@ def conv2d_int8(x, wq, b=None, *, stride=1, padding=0, groups=1):
 def linear_int8(x, wq, b=None):
     """Int8 dense layer; weight in torch layout (out, in), per-out-channel scale."""
     out_dtype = x.dtype
-    x_q, s_x = _quantize_activation(x, wq)
-    y = lax.dot_general(
-        x_q,
-        wq["q"],
-        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    y = y.astype(jnp.float32) * (s_x * wq["scale"]).astype(jnp.float32)
+    if _record_calibration_amax(x, wq):  # calibration: float fast path
+        y = lax.dot_general(
+            x.astype(jnp.float32), dequantize_weight(wq, channel_axis=0),
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        x_q, s_x = _quantize_activation(x, wq)
+        y = lax.dot_general(
+            x_q,
+            wq["q"],
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (s_x * wq["scale"]).astype(jnp.float32)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(out_dtype)
