@@ -51,6 +51,14 @@ class RecNetConfig:
     # rewrite, 2.7x faster — see _conv4channel_factored); 'materialized'
     # is the literal reference dataflow (and the path used when
     # ss_impl='pallas' supplies a fused Gram anyway)
+    channel_impl: str = "xla"  # 'xla' | 'pallas_fused': inference-mode
+    # channel branch. 'pallas_fused' runs the WHOLE branch (factored Gram
+    # feed -> collapsed linears -> sigmoid -> rectification matmul) as one
+    # VMEM-resident Pallas kernel per batch element, so the (N, C, C)
+    # M_channel attention matrix never touches HBM
+    # (ops/pallas/channel_branch.py — the SURVEY §7 8a fusion experiment).
+    # Training and the materialized/pallas-ss paths always use XLA: the
+    # train output tuple includes M_channel itself.
     remat_channel: bool = False  # jax.checkpoint ONLY the channel-attention
     # branch in training: recomputes the (N,512,512) M_channel + its
     # Linear/PReLU intermediates in the backward pass instead of storing
@@ -359,8 +367,19 @@ def apply(params, state, featmap, label=None, *, cfg: RecNetConfig = RecNetConfi
 
     if cfg.remat_channel and training:
         channel_branch = jax.checkpoint(channel_branch)
-    m_channel, feat_channel_pos = channel_branch(
-        params["conv4channel"], first_arg, pos)
+    fused_channel = (cfg.channel_impl == "pallas_fused" and factored
+                     and label is None and not training)
+    if fused_channel:
+        from ffrnet_tpu.ops.pallas.channel_branch import channel_branch_pallas
+
+        # (N, HW, C) straight from the kernel; M_channel stays in VMEM
+        # (inference never returns it — the train tuple does, so training
+        # and label-bearing calls take the XLA branch above)
+        m_channel = None
+        feat_channel_pos = channel_branch_pallas(flat, params["conv4channel"])
+    else:
+        m_channel, feat_channel_pos = channel_branch(
+            params["conv4channel"], first_arg, pos)
 
     # --- spatial rectification matmul (models/recnet.py:408) -----------------
     # feat_space[c, q'] = sum_q X[c, q] M_space[q, q']

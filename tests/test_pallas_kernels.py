@@ -185,3 +185,78 @@ def test_align_faces_auto_and_band_guard():
     got_auto = np.asarray(align_faces(big_imgs, jnp.asarray(big),
                                       impl="auto"))
     np.testing.assert_allclose(got_auto, gold_big, atol=1e-2, rtol=1e-4)
+
+
+def test_channel_branch_pallas_matches_xla():
+    """Fused channel-branch kernel (ops/pallas/channel_branch.py) vs the
+    XLA factored path, fp32 interpreter mode."""
+    from ffrnet_tpu.models import recnet
+    from ffrnet_tpu.ops.pallas.channel_branch import (_reference,
+                                                      channel_branch_pallas)
+
+    cfg = recnet.RecNetConfig(num_classes=32)
+    params, _ = recnet.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    flat = jnp.asarray(rng.standard_normal((3, 512, 49)).astype(np.float32))
+    ref = np.asarray(_reference(flat, params["conv4channel"]))
+    got = np.asarray(channel_branch_pallas(flat, params["conv4channel"]))
+    assert got.shape == (3, 49, 512)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_channel_branch_pallas_gradient():
+    from ffrnet_tpu.models import recnet
+    from ffrnet_tpu.ops.pallas.channel_branch import (_reference,
+                                                      channel_branch_pallas)
+
+    cfg = recnet.RecNetConfig(num_classes=32)
+    params, _ = recnet.init(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(8)
+    flat = jnp.asarray(rng.standard_normal((2, 512, 49)).astype(np.float32))
+
+    g_p = jax.grad(lambda f: jnp.sum(
+        jnp.tanh(channel_branch_pallas(f, params["conv4channel"]))))(flat)
+    g_r = jax.grad(lambda f: jnp.sum(
+        jnp.tanh(_reference(f, params["conv4channel"]))))(flat)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_recnet_channel_impl_pallas_fused_matches_default():
+    """recnet.apply(channel_impl='pallas_fused') inference parity with the
+    default XLA path (fp32: both reduce to the same factored math)."""
+    from ffrnet_tpu.models import recnet
+
+    cfg = recnet.RecNetConfig(num_classes=32)
+    cfg_f = recnet.RecNetConfig(num_classes=32, channel_impl="pallas_fused")
+    params, state = recnet.init(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(9)
+    fm = jnp.asarray(rng.standard_normal((2, 7, 7, 512)).astype(np.float32))
+    (v_ref, fn_ref), _ = recnet.apply(params, state, fm, cfg=cfg,
+                                      training=False)
+    (v_got, fn_got), _ = recnet.apply(params, state, fm, cfg=cfg_f,
+                                      training=False)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref),
+                               atol=2e-5, rtol=2e-5)
+    # kernel accumulates fp32 without the XLA path's intermediate
+    # round-trips; reassociation noise amplifies through the merge convs
+    np.testing.assert_allclose(np.asarray(fn_got), np.asarray(fn_ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_recnet_channel_impl_pallas_fused_training_falls_back():
+    """Training / label-bearing calls must take the XLA branch (the train
+    tuple returns M_channel itself) — identical outputs to the default."""
+    from ffrnet_tpu.models import recnet
+
+    cfg = recnet.RecNetConfig(num_classes=32)
+    cfg_f = recnet.RecNetConfig(num_classes=32, channel_impl="pallas_fused")
+    params, state = recnet.init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(10)
+    fm = jnp.asarray(rng.standard_normal((2, 7, 7, 512)).astype(np.float32))
+    lbl = jnp.asarray([1, 3])
+    out_ref, _ = recnet.apply(params, state, fm, lbl, cfg=cfg, training=True)
+    out_got, _ = recnet.apply(params, state, fm, lbl, cfg=cfg_f, training=True)
+    np.testing.assert_allclose(np.asarray(out_got.logits),
+                               np.asarray(out_ref.logits), atol=0, rtol=0)
+    assert out_got.m_channel is not None
