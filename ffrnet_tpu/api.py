@@ -106,6 +106,51 @@ class FFRNet:
                                    replicated(self.batch_sharding.mesh))
         return FFRNet(*trees, self.cfg, batch_sharding=self.batch_sharding)
 
+    def calibrate_int8(self, batches, *, margin: float = 1.0) -> "FFRNet":
+        """Bake static per-tensor activation scales into an int8 encoder.
+
+        Removes the per-call dynamic amax reduce (a full activation read
+        per quantized site) AND the dynamic path's batch-composition
+        dependence — a sample's int8 embedding no longer varies with what
+        else shares its batch. Out-of-range activations saturate at ±127
+        (standard PTQ clipping; accuracy cost measured in BASELINE.md
+        "Int8 encoder", tests/test_quant.py bounds the held-out cosine).
+
+        `batches`: iterable of (N, 112, 112, 3) host arrays in the model's
+        input convention ([-1, 1] BGR). The calibration pass runs EAGERLY
+        on the host CPU backend (eager dispatch on a remote TPU pays
+        per-op RTT; only the baked scalar scales ship to device). Requires
+        prepare(quantize_int8=True) first; call once at load time.
+        """
+        import numpy as np
+
+        from ffrnet_tpu.models.quantize import calibrate_activation_scales
+        from ffrnet_tpu.ops import quant
+
+        if not quant.tree_has_quantized(self.enc_params):
+            raise ValueError(
+                "calibrate_int8 requires an int8-quantized encoder — call "
+                "prepare(quantize_int8=True) first")
+        cpu = jax.devices("cpu")[0]
+        host_q, host_s = jax.device_get((self.enc_params, self.enc_state))
+        in_dtype = host_q["input"]["conv"]["w"].dtype  # stem stays float
+        with jax.default_device(cpu):
+            cal = calibrate_activation_scales(
+                jax.tree.map(jnp.asarray, host_q),
+                jax.tree.map(jnp.asarray, host_s),
+                [jnp.asarray(np.asarray(b), in_dtype) for b in batches],
+                margin=margin)
+        trees = jax.tree.map(jnp.asarray, (jax.device_get(cal), self.enc_state,
+                                           self.rec_params, self.rec_state))
+        if self.batch_sharding is not None:
+            from ffrnet_tpu.parallel.mesh import replicated
+
+            trees = jax.device_put(trees,
+                                   replicated(self.batch_sharding.mesh))
+        else:
+            trees = jax.device_put(trees)
+        return FFRNet(*trees, self.cfg, batch_sharding=self.batch_sharding)
+
     def shard(self, mesh=None) -> "FFRNet":
         """Data-parallel inference over a device mesh.
 

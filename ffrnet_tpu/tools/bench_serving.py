@@ -37,6 +37,12 @@ def main(argv=None) -> dict:
                          "two up to max_batch); fewer buckets = fewer "
                          "compiles, more padding")
     ap.add_argument("--dtype", default="bf16", choices=["fp32", "bf16"])
+    ap.add_argument("--encoder", default="bf16",
+                    choices=["bf16", "int8", "int8_static"],
+                    help="encoder arm: int8 = dynamic activation scales, "
+                         "int8_static = calibrated static scales "
+                         "(FFRNet.calibrate_int8) — serving is int8's "
+                         "measured sweet spot (batch<=256, BASELINE.md)")
     ap.add_argument("--wire", default="float32",
                     choices=["float32", "uint8"],
                     help="client submission format: uint8 = raw pixels "
@@ -50,7 +56,13 @@ def main(argv=None) -> dict:
     from ffrnet_tpu.serving import EmbeddingService
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
-    model = FFRNet.random(0, dtype=dtype).prepare(fold_bn=True, dtype=dtype)
+    model = FFRNet.random(0, dtype=dtype).prepare(
+        fold_bn=True, dtype=dtype,
+        quantize_int8=args.encoder in ("int8", "int8_static"))
+    if args.encoder == "int8_static":
+        cal = np.random.default_rng(2).uniform(
+            -1.0, 1.0, (16, 112, 112, 3)).astype(np.float32)
+        model = model.calibrate_int8([cal])
     buckets = ([int(b) for b in args.buckets.split(",")]
                if args.buckets else None)
     svc = EmbeddingService(model, max_batch=args.max_batch,
@@ -119,6 +131,7 @@ def main(argv=None) -> dict:
         "padded_frac": round(svc.stats.padded_faces
                              / max(svc.stats.faces + svc.stats.padded_faces, 1), 3),
         "wire": args.wire,
+        "encoder": args.encoder,
     }
     print(json.dumps(out))
     return out
