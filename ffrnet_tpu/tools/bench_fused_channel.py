@@ -91,7 +91,10 @@ def main(argv=None):
             ms["recnet_pallas"].append(time_op(f_pal, fm, iters=args.iters))
             ms["branch_xla"].append(time_op(c_xla, flat, iters=args.iters))
             ms["branch_pallas"].append(time_op(c_pal, flat, iters=args.iters))
-        rec_ = {k: round(min(v), 3) for k, v in ms.items()}
+        # drop glitched rounds (time_op returns 0.0 when the relay slope
+        # stayed non-positive through its retries)
+        rec_ = {k: round(min([x for x in v if x > 0.0] or [0.0]), 3)
+                for k, v in ms.items()}
         rec_["recnet_speedup"] = round(
             rec_["recnet_xla"] / max(rec_["recnet_pallas"], 1e-9), 3)
         rec_["branch_speedup"] = round(
