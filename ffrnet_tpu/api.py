@@ -67,14 +67,21 @@ class FFRNet:
         return cls(enc_p, enc_s, rec_p, rec_s, cfg).prepare(dtype=dtype)
 
     def prepare(self, *, fold_bn: bool = False, dtype=None,
-                quantize_int8: bool = False) -> "FFRNet":
+                quantize_int8=False) -> "FFRNet":
         """BN-fold the frozen encoder and/or cast to a compute dtype; puts
-        all leaves on device. `quantize_int8=True` additionally converts
-        the encoder's body convs + output Linear to the int8 MXU path
-        (models/quantize.py) — opt-in, accuracy/perf tradeoff measured in
-        BASELINE.md "Int8 encoder"."""
+        all leaves on device. `quantize_int8` converts weight leaves to
+        the int8 MXU path (models/quantize.py) — opt-in, accuracy/perf
+        tradeoff measured in BASELINE.md (numbers-of-record):
+          True or "encoder" — the encoder's body convs + output Linear;
+          "recnet"          — RecNet's conv chains;
+          "all"             — both."""
         from ffrnet_tpu.ops.nn import tree_cast_floats
 
+        q_mode = "encoder" if quantize_int8 is True else quantize_int8
+        if q_mode not in (False, "encoder", "recnet", "all"):
+            raise ValueError(
+                f"quantize_int8 must be False/True/'encoder'/'recnet'/'all',"
+                f" got {quantize_int8!r}")
         enc_p, enc_s = self.enc_params, self.enc_state
         if fold_bn:
             from ffrnet_tpu.models.optimize import fold_backbone_bn
@@ -91,12 +98,16 @@ class FFRNet:
         trees = jax.tree.map(
             jnp.asarray, (enc_p, enc_s, self.rec_params, self.rec_state))
         trees = tree_cast_floats(trees, dtype)
-        if quantize_int8:
-            from ffrnet_tpu.models.quantize import quantize_encoder_params
+        if q_mode:
+            from ffrnet_tpu.models.quantize import (quantize_encoder_params,
+                                                    quantize_recnet_params)
 
             enc_p_c, enc_s_c, rec_p_c, rec_s_c = trees
-            trees = (quantize_encoder_params(enc_p_c), enc_s_c,
-                     rec_p_c, rec_s_c)
+            if q_mode in ("encoder", "all"):
+                enc_p_c = quantize_encoder_params(enc_p_c)
+            if q_mode in ("recnet", "all"):
+                rec_p_c = quantize_recnet_params(rec_p_c)
+            trees = (enc_p_c, enc_s_c, rec_p_c, rec_s_c)
         if self.batch_sharding is not None:
             # keep a sharded model sharded: re-replicate the rebuilt trees
             # over the same mesh instead of silently dropping to one device
@@ -107,7 +118,7 @@ class FFRNet:
         return FFRNet(*trees, self.cfg, batch_sharding=self.batch_sharding)
 
     def calibrate_int8(self, batches, *, margin: float = 1.0) -> "FFRNet":
-        """Bake static per-tensor activation scales into an int8 encoder.
+        """Bake static per-tensor activation scales into the int8 trees.
 
         Removes the per-call dynamic amax reduce (a full activation read
         per quantized site) AND the dynamic path's batch-composition
@@ -116,32 +127,61 @@ class FFRNet:
         (standard PTQ clipping; accuracy cost measured in BASELINE.md
         "Int8 encoder", tests/test_quant.py bounds the held-out cosine).
 
+        Calibrates every quantized tree: the encoder, a RecNet quantized
+        via prepare(quantize_int8="recnet"/"all") (its calibration inputs
+        are the encoder feature maps of the SAME batches, captured from
+        the encoder pass at no extra cost), or both.
+
         `batches`: iterable of (N, 112, 112, 3) host arrays in the model's
         input convention ([-1, 1] BGR). The calibration pass runs EAGERLY
         on the host CPU backend (eager dispatch on a remote TPU pays
         per-op RTT; only the baked scalar scales ship to device). Requires
-        prepare(quantize_int8=True) first; call once at load time.
+        prepare(quantize_int8=...) first; call once at load time.
         """
         import numpy as np
 
-        from ffrnet_tpu.models.quantize import calibrate_activation_scales
+        from ffrnet_tpu.models import irse
+        from ffrnet_tpu.models.quantize import (
+            calibrate_activation_scales, calibrate_recnet_activation_scales)
         from ffrnet_tpu.ops import quant
 
-        if not quant.tree_has_quantized(self.enc_params):
+        enc_q = quant.tree_has_quantized(self.enc_params)
+        rec_q = quant.tree_has_quantized(self.rec_params)
+        if not (enc_q or rec_q):
             raise ValueError(
-                "calibrate_int8 requires an int8-quantized encoder — call "
-                "prepare(quantize_int8=True) first")
+                "calibrate_int8 requires an int8-quantized tree — call "
+                "prepare(quantize_int8=...) first")
         cpu = jax.devices("cpu")[0]
         host_q, host_s = jax.device_get((self.enc_params, self.enc_state))
         in_dtype = host_q["input"]["conv"]["w"].dtype  # stem stays float
+        cal_enc, cal_rec = host_q, None
         with jax.default_device(cpu):
-            cal = calibrate_activation_scales(
-                jax.tree.map(jnp.asarray, host_q),
-                jax.tree.map(jnp.asarray, host_s),
-                [jnp.asarray(np.asarray(b), in_dtype) for b in batches],
-                margin=margin)
-        trees = jax.tree.map(jnp.asarray, (jax.device_get(cal), self.enc_state,
-                                           self.rec_params, self.rec_state))
+            xb = [jnp.asarray(np.asarray(b), in_dtype) for b in batches]
+            featmaps = []
+            host_enc = jax.tree.map(jnp.asarray, host_q)
+            host_es = jax.tree.map(jnp.asarray, host_s)
+            if enc_q:
+                cal_enc = calibrate_activation_scales(
+                    host_enc, host_es, xb, margin=margin,
+                    capture_featmaps=featmaps if rec_q else None)
+            elif rec_q:  # float encoder still supplies the featmaps
+                for x in xb:
+                    fm, _, _ = irse.apply(host_enc, host_es, x,
+                                          training=False)
+                    featmaps.append(fm)
+            if rec_q:
+                host_rec, host_rs = jax.device_get(
+                    (self.rec_params, self.rec_state))
+                cal_rec = calibrate_recnet_activation_scales(
+                    jax.tree.map(jnp.asarray, host_rec),
+                    jax.tree.map(jnp.asarray, host_rs),
+                    featmaps, cfg=self.cfg, margin=margin)
+        trees = jax.tree.map(
+            jnp.asarray,
+            (jax.device_get(cal_enc), self.enc_state,
+             jax.device_get(cal_rec) if cal_rec is not None
+             else self.rec_params,
+             self.rec_state))
         if self.batch_sharding is not None:
             from ffrnet_tpu.parallel.mesh import replicated
 

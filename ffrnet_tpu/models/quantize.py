@@ -1,11 +1,11 @@
-"""Post-training int8 quantization of the frozen IR-SE encoder.
+"""Post-training int8 quantization of the frozen IR-SE encoder and RecNet.
 
-Walks an `models.irse` params tree and replaces conv / linear weight
-leaves with int8 quantized dicts (`ops/quant.py`), so the unmodified
-`irse.apply` runs the MXU int8 path via the transparent dispatch in
-`ops.nn.conv2d` / `ops.nn.linear`.
+Walks a `models.irse` / `models.recnet` params tree and replaces conv /
+linear weight leaves with int8 quantized dicts (`ops/quant.py`), so the
+unmodified `irse.apply` / `recnet.apply` runs the MXU int8 path via the
+transparent dispatch in `ops.nn.conv2d` / `ops.nn.linear`.
 
-What is quantized (and what is deliberately not):
+Encoder — what is quantized (and what is deliberately not):
   - body unit convs (conv1/conv2/shortcut): the FLOP mass — yes;
   - the (512, 25088) output Linear: yes by default (flag);
   - the stem conv: NO — cin=3 makes it layout-bound, not FLOP-bound
@@ -15,10 +15,23 @@ What is quantized (and what is deliberately not):
     gates amplify error;
   - BN / PReLU params: NO — folded per-channel affines stay float.
 
+RecNet (reference models/recnet.py:347-429) — what is quantized:
+  - the conv chains, which carry the head's conv FLOP mass: Conv4Space
+    (c0/r0/c1/r1/c2/r2), ChannelFlipMerge and Conv4Merge (conv + res
+    each) — 15 conv sites;
+  - NOT the Conv4Channel linears: the factored path multiplies the
+    (32,32) weight pairs together at trace time (recnet.py::
+    _conv4channel_factored), which int8 weight dicts would break, and
+    the whole branch is ~1 GFLOP/batch — noise;
+  - NOT the rectification matmuls (activation x activation — there is
+    no weight to quantize) and NOT the CosFace classifier (cosine
+    normalization amplifies error; it only runs in training anyway).
+
 The encoder is frozen in FFR-Net training (reference models/trainer.py:
 62-63,79) and the reference has no quantized path; this is an opt-in
 beyond-reference serving/eval capability. Accuracy and throughput deltas
-are measured in BASELINE.md ("Int8 encoder"); default paths stay bf16.
+are measured in BASELINE.md ("Int8 encoder" / numbers-of-record); default
+paths stay bf16.
 """
 
 from __future__ import annotations
@@ -61,9 +74,13 @@ def quantize_encoder_params(params, *, quantize_linear: bool = True):
 
 
 def _quantized_leaves(qparams):
-    """All quantized weight leaves of an irse params tree (walker order;
-    calibration matches collectors to sites BY LEAF, so the order here
-    carries no semantic weight)."""
+    """All quantized weight leaves of an irse params tree.
+
+    Calibration matches collectors to sites BY LEAF, so the order carries
+    no semantic weight there — but bench.py's in-repo static-scale cache
+    (.int8_scales.json) pairs scales to sites BY POSITION in this list, so
+    the walk order below is load-bearing for that cache: do not reorder.
+    """
     leaves = []
     for unit in qparams["body"]:
         if "shortcut" in unit and quant.is_quantized(unit["shortcut"]["conv"]["w"]):
@@ -74,6 +91,101 @@ def _quantized_leaves(qparams):
     if quant.is_quantized(qparams["output"]["linear"]["w"]):
         leaves.append(qparams["output"]["linear"]["w"])
     return leaves
+
+
+def tree_quantized_leaves(tree):
+    """All quantized weight leaves of ANY params tree (deterministic walk:
+    sorted dict keys, list order). Model-agnostic counterpart of
+    `_quantized_leaves` for trees that aren't irse-shaped (e.g. RecNet)."""
+    leaves = []
+
+    def walk(node):
+        if quant.is_quantized(node):
+            leaves.append(node)
+            return
+        if isinstance(node, dict):
+            for k in sorted(node):
+                walk(node[k])
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(tree)
+    return leaves
+
+
+def _quantize_conv_weights(node):
+    """Recursively quantize every conv-layer weight (`{"conv": {"w": ...}}`
+    nodes) in a params subtree, in place. Per-out-channel scales on the
+    HWIO output axis."""
+    if not isinstance(node, dict):
+        return
+    conv = node.get("conv")
+    if (isinstance(conv, dict) and "w" in conv
+            and not quant.is_quantized(conv["w"])
+            and getattr(conv["w"], "ndim", 0) == 4):
+        conv["w"] = quant.quantize_weight(conv["w"], channel_axis=-1)
+    for k, v in node.items():
+        if k != "conv":
+            _quantize_conv_weights(v)
+
+
+RECNET_INT8_SITES = ("conv4space", "flipmerge", "merge")
+
+
+def quantize_recnet_params(params, *, sites=RECNET_INT8_SITES):
+    """Return a new recnet params tree with int8 conv weight leaves.
+
+    Quantizes the conv chains only (module docstring has the site policy);
+    Conv4Channel linears, PReLU/BN params, and the classifier stay float.
+    Idempotent on already-quantized leaves. Quantize AFTER any dtype cast
+    so scales are computed from the weights actually served.
+    """
+    out = copy.copy(params)
+    for site in sites:
+        sub = copy.deepcopy(params[site])
+        _quantize_conv_weights(sub)
+        out[site] = sub
+    return out
+
+
+def _bake_static_scales(sites, apply_batch, batches, *, margin: float):
+    """Calibration engine shared by the irse/recnet entry points.
+
+    Arms a per-leaf amax collector on every quantized leaf in `sites`,
+    runs `apply_batch(x)` EAGERLY once per calibration batch (each
+    quantized op records its own activation amax and then runs on the
+    dequantized float weight — standard PTQ, ~30x faster than emulated
+    int8 on the CPU backend), and bakes `x_scale = margin * amax / 127`
+    into each leaf in place. Callers deepcopy first.
+    """
+    import jax.numpy as jnp
+
+    if any("x_scale" in s for s in sites):
+        raise ValueError("tree already has baked x_scale leaves; "
+                         "re-quantize before calibrating")
+    if not sites:
+        raise ValueError("no quantized leaves to calibrate")
+    for leaf in sites:
+        leaf[quant.CALIBRATION_KEY] = []
+    n_batches = 0
+    try:
+        for x in batches:
+            apply_batch(x)
+            n_batches += 1
+    finally:
+        records = [leaf.pop(quant.CALIBRATION_KEY) for leaf in sites]
+    if n_batches == 0:
+        raise ValueError("calibration needs at least one batch")
+    for leaf, rec in zip(sites, records):
+        if len(rec) != n_batches:
+            raise AssertionError(
+                f"a quantized site recorded {len(rec)} amaxes over "
+                f"{n_batches} calibration batches — its op did not run "
+                "exactly once per apply")
+        # device scalar, NOT a numpy host leaf: host leaves in jitted-call
+        # args re-upload every call through the relay (CLAUDE.md)
+        leaf["x_scale"] = jnp.float32(max(max(rec), 1e-12) * margin / 127.0)
 
 
 def calibrate_activation_scales(qparams, state, batches, *, margin: float = 1.0,
@@ -95,34 +207,47 @@ def calibrate_activation_scales(qparams, state, batches, *, margin: float = 1.0,
     site never computes a dynamic amax to record). Standard post-training
     static quantization; the reference has no equivalent. Accuracy/perf
     deltas: BASELINE.md "Int8 encoder".
-    """
-    import jax.numpy as jnp
 
+    `capture_featmaps`: optional list; when given, each calibration
+    batch's (N, 7, 7, 512) encoder feature map is appended — the natural
+    calibration inputs for a downstream quantized RecNet, at no extra
+    eager encoder pass (api.FFRNet.calibrate_int8 chains them).
+    """
     from ffrnet_tpu.models import irse
 
-    if any("x_scale" in s for s in _quantized_leaves(qparams)):
-        raise ValueError("tree already has baked x_scale leaves; "
-                         "re-quantize before calibrating")
+    capture_featmaps = apply_kwargs.pop("capture_featmaps", None)
     out = copy.deepcopy(qparams)
-    sites = _quantized_leaves(out)
-    for leaf in sites:
-        leaf[quant.CALIBRATION_KEY] = []
-    n_batches = 0
-    try:
-        for x in batches:
-            irse.apply(out, state, x, training=False, **apply_kwargs)
-            n_batches += 1
-    finally:
-        records = [leaf.pop(quant.CALIBRATION_KEY) for leaf in sites]
-    if n_batches == 0:
-        raise ValueError("calibration needs at least one batch")
-    for leaf, rec in zip(sites, records):
-        if len(rec) != n_batches:
-            raise AssertionError(
-                f"a quantized site recorded {len(rec)} amaxes over "
-                f"{n_batches} calibration batches — its op did not run "
-                "exactly once per apply")
-        # device scalar, NOT a numpy host leaf: host leaves in jitted-call
-        # args re-upload every call through the relay (CLAUDE.md)
-        leaf["x_scale"] = jnp.float32(max(max(rec), 1e-12) * margin / 127.0)
+
+    def apply_batch(x):
+        featmap, _, _ = irse.apply(out, state, x, training=False,
+                                   **apply_kwargs)
+        if capture_featmaps is not None:
+            capture_featmaps.append(featmap)
+
+    _bake_static_scales(_quantized_leaves(out), apply_batch, batches,
+                        margin=margin)
+    return out
+
+
+def calibrate_recnet_activation_scales(qparams, state, batches, *,
+                                       cfg=None, margin: float = 1.0,
+                                       **apply_kwargs):
+    """Bake static activation scales into a quantized RecNet tree.
+
+    `batches`: iterable of (N, 7, 7, 512) NHWC frozen-encoder feature
+    maps (capture them from the encoder calibration pass via
+    `calibrate_activation_scales(..., capture_featmaps=[])`, or run the
+    float encoder over the calibration images). Same eager host-CPU
+    recipe, semantics, and saturation behavior as the encoder version.
+    """
+    from ffrnet_tpu.models import recnet
+
+    if cfg is None:
+        cfg = recnet.RecNetConfig()
+    out = copy.deepcopy(qparams)
+    _bake_static_scales(
+        tree_quantized_leaves(out),
+        lambda fm: recnet.apply(out, state, fm, cfg=cfg, training=False,
+                                **apply_kwargs),
+        batches, margin=margin)
     return out

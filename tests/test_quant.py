@@ -218,3 +218,109 @@ def test_dynamic_quant_batch_composition_dependence_documented():
                              np.asarray(s_pair[0])).max())
     assert sta_delta == 0.0, "static scales must be batch-independent"
     assert dyn_delta >= sta_delta
+
+
+# ---------------------------------------------------------------------------
+# RecNet int8 (models/quantize.py::quantize_recnet_params)
+# ---------------------------------------------------------------------------
+
+
+def _cos_rows(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return (a * b).sum(1) / np.maximum(
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-12)
+
+
+def test_quantize_recnet_params_structure():
+    from ffrnet_tpu.models import recnet
+    from ffrnet_tpu.models.quantize import (quantize_recnet_params,
+                                            tree_quantized_leaves)
+
+    p, _ = recnet.init(jax.random.PRNGKey(0))
+    qp = quantize_recnet_params(p)
+    # 15 conv sites: conv4space c0/r0/c1/r1/c2/r2 (1+2+1+2+1+2) +
+    # flipmerge conv+res (3) + merge conv+res (3)
+    assert len(tree_quantized_leaves(qp)) == 15
+    for name in ("c0", "c1", "c2"):
+        assert quant.is_quantized(qp["conv4space"][name]["conv"]["w"])
+    for name in ("r0", "r1", "r2"):
+        assert quant.is_quantized(qp["conv4space"][name]["conv1"]["conv"]["w"])
+        assert quant.is_quantized(qp["conv4space"][name]["conv2"]["conv"]["w"])
+    for site in ("flipmerge", "merge"):
+        assert quant.is_quantized(qp[site]["c"]["conv"]["w"])
+    # channel-branch linears and the classifier stay float (the factored
+    # path multiplies weight pairs at trace time; cosine head is sensitive)
+    assert not quant.tree_has_quantized(qp["conv4channel"])
+    assert not quant.is_quantized(qp["classifier"]["w"])
+    # idempotent; original untouched
+    assert len(tree_quantized_leaves(quantize_recnet_params(qp))) == 15
+    assert not quant.tree_has_quantized(p)
+
+
+def test_recnet_int8_tracks_float_and_calibrates():
+    """Dynamic and calibrated-static int8 RecNet track the float head on a
+    HELD-OUT feature map; jit-clean after baking."""
+    from ffrnet_tpu.models import recnet
+    from ffrnet_tpu.models.quantize import (
+        calibrate_recnet_activation_scales, quantize_recnet_params,
+        tree_quantized_leaves)
+
+    p, s = recnet.init(jax.random.PRNGKey(1))
+    qp = quantize_recnet_params(p)
+    rng = np.random.default_rng(0)
+    fm_cal = jnp.asarray(rng.standard_normal((2, 7, 7, 512)), jnp.float32)
+    fm_eval = jnp.asarray(rng.standard_normal((2, 7, 7, 512)), jnp.float32)
+
+    (v_f, _), _ = recnet.apply(p, s, fm_eval, training=False)
+    (v_d, _), _ = recnet.apply(qp, s, fm_eval, training=False)
+    assert (_cos_rows(v_f, v_d) > 0.99).all()
+
+    cal = calibrate_recnet_activation_scales(qp, s, [fm_cal])
+    leaves = tree_quantized_leaves(cal)
+    assert len(leaves) == 15 and all("x_scale" in l for l in leaves)
+    (v_s, _), _ = jax.jit(
+        lambda pp, fm: recnet.apply(pp, s, fm, training=False))(cal, fm_eval)
+    assert (_cos_rows(v_f, v_s) > 0.99).all()
+
+
+def test_api_quantize_int8_modes():
+    """prepare(quantize_int8=...) mode dispatch: True=='encoder', 'recnet'
+    and 'all' quantize the right trees, bad values raise."""
+    import pytest
+
+    from ffrnet_tpu.api import FFRNet
+
+    base = FFRNet.random(0)
+    m_enc = base.prepare(quantize_int8=True)
+    assert quant.tree_has_quantized(m_enc.enc_params)
+    assert not quant.tree_has_quantized(m_enc.rec_params)
+    m_rec = base.prepare(quantize_int8="recnet")
+    assert not quant.tree_has_quantized(m_rec.enc_params)
+    assert quant.tree_has_quantized(m_rec.rec_params)
+    m_all = base.prepare(quantize_int8="all")
+    assert quant.tree_has_quantized(m_all.enc_params)
+    assert quant.tree_has_quantized(m_all.rec_params)
+    with pytest.raises(ValueError, match="quantize_int8"):
+        base.prepare(quantize_int8="both")
+
+
+def test_api_calibrate_int8_recnet_only():
+    """calibrate_int8 on a recnet-only quantized model: the float encoder
+    supplies the calibration feature maps; embed() stays jit-clean and
+    tracks the float model."""
+    from ffrnet_tpu.api import FFRNet
+    from ffrnet_tpu.models.quantize import tree_quantized_leaves
+
+    rng = np.random.default_rng(7)
+    cal = rng.uniform(-1, 1, (1, 112, 112, 3)).astype(np.float32)
+    ev = rng.uniform(-1, 1, (2, 112, 112, 3)).astype(np.float32)
+    m_f = FFRNet.random(3)
+    m_q = m_f.prepare(quantize_int8="recnet").calibrate_int8([cal])
+    leaves = tree_quantized_leaves(m_q.rec_params)
+    assert len(leaves) == 15 and all("x_scale" in l for l in leaves)
+    raw_f, rect_f = m_f.embed(ev)
+    raw_q, rect_q = m_q.embed(ev)
+    # raw path identical (encoder untouched); rectified close
+    assert _rel_err(raw_f, raw_q) < 1e-5
+    assert (_cos_rows(rect_f, rect_q) > 0.99).all()
