@@ -194,8 +194,7 @@ def _int8_section(enc_params, enc_state, dtype):
     import jax.numpy as jnp
 
     from ffrnet_tpu.models import irse
-    from ffrnet_tpu.models.quantize import (calibrate_activation_scales,
-                                            quantize_encoder_params)
+    from ffrnet_tpu.models.quantize import quantize_encoder_params
     from ffrnet_tpu.tools.timing import time_op
 
     b = BATCH
@@ -213,42 +212,17 @@ def _int8_section(enc_params, enc_state, dtype):
     # this image's 1-core CPU and must not burden every driver bench run.
     section = {"batch": b}
     sparams = None
-    cache_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".int8_scales.json")
-    cache_key = (f"prng0-fold{os.environ.get('FFRNET_BENCH_FOLD_BN', '1')}"
-                 f"-{DTYPE}-cal8xseed2-ql1-v1")
+    from ffrnet_tpu.tools.int8_cache import (default_cache_file,
+                                             encoder_cache_key,
+                                             static_encoder_tree)
+
+    cache_key = encoder_cache_key(
+        fold_bn=os.environ.get("FFRNET_BENCH_FOLD_BN", "1"), dtype_name=DTYPE)
     try:
-        from ffrnet_tpu.models.quantize import _quantized_leaves
-
-        scales = None
-        if os.path.exists(cache_file):
-            with open(cache_file) as f:
-                payload = json.load(f)
-            if payload.get("key") == cache_key:
-                scales = payload["x_scales"]
-                section["static_scales_cache"] = "hit"
-        if scales is None:
-            cpu = jax.devices("cpu")[0]
-            host_q, host_s = jax.device_get((qparams, enc_state))
-            xcal = np.random.default_rng(2).uniform(
-                -1.0, 1.0, (8, 112, 112, 3)).astype(np.float32)
-            with jax.default_device(cpu):
-                cal = calibrate_activation_scales(
-                    jax.tree.map(jnp.asarray, host_q),
-                    jax.tree.map(jnp.asarray, host_s),
-                    [jnp.asarray(xcal, dtype)])
-            scales = [float(l["x_scale"]) for l in _quantized_leaves(cal)]
-            with open(cache_file, "w") as f:
-                json.dump({"key": cache_key, "x_scales": scales}, f)
-            section["static_scales_cache"] = "miss (calibrated + saved)"
-        import copy as _copy
-
-        sp = _copy.deepcopy(jax.device_get(qparams))
-        leaves = _quantized_leaves(sp)
-        assert len(leaves) == len(scales), "scale cache/site count mismatch"
-        for leaf, s in zip(leaves, scales):
-            leaf["x_scale"] = jnp.float32(s)
-        sparams = jax.device_put(jax.tree.map(jnp.asarray, sp))
+        sparams, status = static_encoder_tree(
+            qparams, enc_state, dtype,
+            cache_file=default_cache_file(), cache_key=cache_key)
+        section["static_scales_cache"] = status
     except Exception as e:  # pragma: no cover
         section["static_error"] = repr(e)
 
@@ -430,10 +404,10 @@ def main():
     fused = os.environ.get("FFRNET_BENCH_FUSED", "1") == "1"
     inner = pipeline
 
-    def make_fused(enc_p):
+    def make_fused(enc_p, rec_p=rec_params):
         @jax.jit
         def fused_pipeline(raw, landmarks):
-            return inner(enc_p, enc_state, rec_params, rec_state,
+            return inner(enc_p, enc_state, rec_p, rec_state,
                          raw, landmarks)
         return fused_pipeline
 
@@ -565,6 +539,45 @@ def main():
                 }
                 print(f"[bench] int8_pipeline: {record['int8_pipeline']}",
                       file=sys.stderr, flush=True)
+                # third arm: static-int8 RecNet on top of the int8 encoder
+                # (same-session A/B vs the int8-encoder arm just measured)
+                if os.environ.get("FFRNET_BENCH_INT8_RECNET", "1") == "1":
+                    from ffrnet_tpu.models.quantize import (
+                        quantize_recnet_params)
+                    from ffrnet_tpu.tools.int8_cache import (
+                        default_cache_file, recnet_cache_key,
+                        static_recnet_tree)
+
+                    enc_fwd = jax.jit(lambda xx: irse.apply(
+                        enc_params, enc_state, xx, training=False)[0])
+                    srec, rstatus = static_recnet_tree(
+                        jax.device_put(quantize_recnet_params(rec_params)),
+                        rec_state, enc_fwd, dtype, cfg=cfg,
+                        cache_file=default_cache_file(),
+                        cache_key=recnet_cache_key(
+                            fold_bn=os.environ.get(
+                                "FFRNET_BENCH_FOLD_BN", "1"),
+                            dtype_name=DTYPE))
+                    int8r_pipe = make_fused(qtree, srec)
+                    run_chain(1 + WARMUP, fn=int8r_pipe)  # compile + warm
+                    _mark("int8-recnet pipeline compiled+warm", t0)
+                    tr_s = run_chain(2, fn=int8r_pipe)
+                    tr_l = run_chain(2 + ITERS, fn=int8r_pipe)
+                    fps_r = BATCH * ITERS / max(tr_l - tr_s, 1e-9)
+                    tq2_s = run_chain(2, fn=int8_pipe)  # enc-only recheck
+                    tq2_l = run_chain(2 + ITERS, fn=int8_pipe)
+                    fps_q2 = BATCH * ITERS / max(tq2_l - tq2_s, 1e-9)
+                    record["int8_recnet_pipeline"] = {
+                        "arms": "int8_enc+int8_recnet vs int8_enc+bf16_recnet",
+                        "scales_cache": rstatus,
+                        "faces_per_sec_int8_recnet": round(fps_r, 2),
+                        "faces_per_sec_int8_enc_recheck": round(fps_q2, 2),
+                        "speedup_vs_int8_enc": round(
+                            fps_r / max(fps_q2, 1e-9), 3),
+                    }
+                    print(f"[bench] int8_recnet_pipeline: "
+                          f"{record['int8_recnet_pipeline']}",
+                          file=sys.stderr, flush=True)
         except Exception as e:  # pragma: no cover - never lose the headline
             record.setdefault("int8", {})["error"] = repr(e)
 

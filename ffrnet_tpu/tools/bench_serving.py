@@ -38,11 +38,13 @@ def main(argv=None) -> dict:
                          "compiles, more padding")
     ap.add_argument("--dtype", default="bf16", choices=["fp32", "bf16"])
     ap.add_argument("--encoder", default="bf16",
-                    choices=["bf16", "int8", "int8_static"],
+                    choices=["bf16", "int8", "int8_static", "int8_all"],
                     help="encoder arm: int8 = dynamic activation scales, "
                          "int8_static = calibrated static scales "
                          "(FFRNet.calibrate_int8) — serving is int8's "
-                         "measured sweet spot (batch<=256, BASELINE.md)")
+                         "measured sweet spot (batch<=256, BASELINE.md); "
+                         "int8_all also quantizes the RecNet conv chains "
+                         "(static scales, +6% pipeline measured)")
     ap.add_argument("--wire", default="float32",
                     choices=["float32", "uint8"],
                     help="client submission format: uint8 = raw pixels "
@@ -56,10 +58,11 @@ def main(argv=None) -> dict:
     from ffrnet_tpu.serving import EmbeddingService
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
+    q_mode = {"bf16": False, "int8": True, "int8_static": True,
+              "int8_all": "all"}[args.encoder]
     model = FFRNet.random(0, dtype=dtype).prepare(
-        fold_bn=True, dtype=dtype,
-        quantize_int8=args.encoder in ("int8", "int8_static"))
-    if args.encoder == "int8_static":
+        fold_bn=True, dtype=dtype, quantize_int8=q_mode)
+    if args.encoder in ("int8_static", "int8_all"):
         cal = np.random.default_rng(2).uniform(
             -1.0, 1.0, (16, 112, 112, 3)).astype(np.float32)
         model = model.calibrate_int8([cal])

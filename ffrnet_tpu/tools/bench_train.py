@@ -47,6 +47,16 @@ def main(argv=None):
                         "time RecNet-only steps (train_step_from_features) "
                         "— the frozen-encoder caching the torch reference "
                         "cannot express")
+    p.add_argument("--enc_arms", type=int, default=0,
+                   help="same-process frozen-encoder duel: float (the "
+                        "production trainer tree) vs BN-folded vs "
+                        "int8-static-folded encoder inside the FULL train "
+                        "step. Valid because the encoder is frozen and "
+                        "runs in eval mode (folding is exact; gradients "
+                        "never touch it — only RecNet params are "
+                        "differentiated). Interleaved rounds, chained "
+                        "timing; overrides --features")
+    p.add_argument("--rounds", type=int, default=3)
     args = p.parse_args(argv)
 
     import jax
@@ -75,6 +85,65 @@ def main(argv=None):
             -1, 1, (args.batch, 112, 112, 3)).astype(np.float32)),
         "label": jnp.asarray(rng.integers(0, args.num_classes, args.batch)),
     }
+    if args.enc_arms:
+        from ffrnet_tpu.models.optimize import fold_backbone_bn
+        from ffrnet_tpu.models.quantize import quantize_encoder_params
+        from ffrnet_tpu.tools.int8_cache import (default_cache_file,
+                                                 encoder_cache_key,
+                                                 static_encoder_tree)
+
+        fp, fs = fold_backbone_bn(enc_params, enc_state)
+        # the scale cache is keyed to the folded bf16/fp32 serving tree;
+        # activations are identical folded/unfolded (folding is exact), so
+        # the same scales serve here
+        sp, status = static_encoder_tree(
+            jax.device_put(quantize_encoder_params(fp)), fs,
+            jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+            cache_file=default_cache_file(),
+            cache_key=encoder_cache_key(fold_bn="1", dtype_name=args.dtype))
+        arms = {"float": (enc_params, enc_state), "folded": (fp, fs),
+                "int8_static": (sp, fs)}
+        # one TrainState per arm; successive steps chain through the state
+        # (the relay-safe serialization bench.py's run_chain relies on)
+        states = {k: create_train_state(jax.random.PRNGKey(1), cfg)
+                  for k in arms}
+        jstep = jax.jit(functools.partial(train_step, cfg=cfg))
+
+        def chain(k, n):
+            ep, es = arms[k]
+            t0 = time.perf_counter()
+            metrics = None
+            for _ in range(n):
+                states[k], metrics = jstep(ep, es, states[k], batch)
+            float(jax.device_get(metrics["TotalLoss"]))
+            return time.perf_counter() - t0
+
+        for k in arms:  # compile + warm
+            chain(k, 1)
+            chain(k, 1)
+        ms = {k: [] for k in arms}
+        for _ in range(args.rounds):
+            for k in arms:
+                # retry non-positive slopes (relay throughput swings)
+                for _attempt in range(3):
+                    dt = chain(k, 2 + args.iters) - chain(k, 2)
+                    if dt > 0.0:
+                        ms[k].append(dt / args.iters * 1e3)
+                        break
+        rec = {"tool": "bench_train_enc_arms", "batch": args.batch,
+               "dtype": args.dtype, "scale_cache": status}
+        for k, v in ms.items():
+            pos = [x for x in v if x > 0.0]
+            best = min(pos) if pos else 0.0
+            rec[f"step_ms_{k}"] = round(best, 2)
+            rec[f"imgs_per_sec_{k}"] = round(
+                args.batch / (best / 1e3), 1) if best else 0.0
+        for k in ("folded", "int8_static"):
+            rec[f"speedup_{k}"] = round(
+                rec["step_ms_float"] / max(rec[f"step_ms_{k}"], 1e-9), 3)
+        print(json.dumps(rec))
+        return
+
     if args.features:
         from ffrnet_tpu.training.trainer import (encode_frozen,
                                                  train_step_from_features)
