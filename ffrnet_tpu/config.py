@@ -77,6 +77,15 @@ class Options:
     # host->device bytes — the measured driver bottleneck on relayed
     # hosts); 1 = reference-style float32 host normalization.
     host_normalize: int = 0
+    # Opt-in: run the FROZEN encoder inside the train step as int8
+    # (fold BN -> int8 weights -> static activation scales calibrated on
+    # the first training images). Measured 1.216x full-step throughput at
+    # batch 128 bf16, embed cosine >=0.9993 (BASELINE.md enc_arms duel).
+    # Gradients never touch the encoder, so backward math is unchanged;
+    # LFW eval keeps the float encoder. Ignored with --cache_features
+    # (no in-step encoder there). Startup pays one eager host-CPU
+    # calibration pass (~minutes on slow hosts).
+    int8_encoder: int = 0
     # train
     seed: int = 123
     n_thread: int = 8
@@ -185,6 +194,8 @@ def parse_args(argv: Optional[List[str]] = None, *, make_dirs: bool = True) -> O
                    default=defaults.faithful_eval_flip)
     p.add_argument("--host_normalize", type=int,
                    default=defaults.host_normalize)
+    p.add_argument("--int8_encoder", type=int,
+                   default=defaults.int8_encoder)
     p.add_argument("--cache_features", type=int,
                    default=defaults.cache_features)
     p.add_argument("--pack_upload", type=int, default=defaults.pack_upload)

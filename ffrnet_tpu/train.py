@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 from typing import Optional
 
 import jax
@@ -115,6 +116,65 @@ def load_encoder(opts: Options):
     print(f"[warn] encoder weights {opts.encoder_weights!r} not found — "
           "random init (parity numbers will be meaningless)", file=sys.stderr)
     return irse.init(jax.random.PRNGKey(0))
+
+
+def prepare_int8_encoder(enc_params, enc_state, dataset, compute_dtype,
+                         cal_images: int = 8):
+    """Int8-static frozen encoder for the train step (--int8_encoder 1).
+
+    Fold BN (exact — the frozen encoder always runs in eval mode), cast
+    to the compute dtype, quantize conv/linear weights to int8, then
+    calibrate static activation scales on the first REAL training images
+    (both the mask-free and occluded streams, so mask statistics are in
+    range). Gradients never touch the encoder — the loss differentiates
+    only RecNet params (training/trainer.py) — so this changes no
+    backward math. Measured: 1.216x full-train-step throughput at batch
+    128 bf16 vs the float tree, BN-folding alone a wash (BASELINE.md
+    "enc_arms"); embedding cosine floor 0.9993 (held-out, batch 256).
+    The reference trains the frozen fp32 encoder every step
+    (models/trainer.py:139-146 of /root/reference) with no such lever.
+
+    Calibration runs the EAGER encoder on the host CPU (per-op dispatch
+    through a relayed TPU costs ~50 ms RTT each) — one batch-8 pass,
+    minutes on slow hosts, once per run.
+    """
+    from ffrnet_tpu.models.optimize import fold_backbone_bn
+    from ffrnet_tpu.models.quantize import (calibrate_activation_scales,
+                                            quantize_encoder_params)
+    from ffrnet_tpu.ops.nn import tree_cast_floats
+
+    dtype = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
+    fp, fs = fold_backbone_bn(enc_params, enc_state)
+    # quantize AFTER the dtype cast so weight scales come from the
+    # weights actually served inside the step
+    fp, fs = tree_cast_floats((fp, fs), dtype)
+
+    imgs = []
+    cal_rng = np.random.default_rng(0)  # calibration-only sample rng; the
+    # training loader's per-(epoch, sample) streams are untouched
+    for i in range(len(dataset)):
+        item = dataset.get(i, cal_rng)
+        for k in ("img_non", "img_ocl"):
+            a = np.asarray(item[k])
+            if a.dtype == np.uint8:  # host_normalize=0 samples
+                a = a.astype(np.float32) / 127.5 - 1.0
+            imgs.append(a.astype(np.float32))
+        if len(imgs) >= cal_images:
+            break
+    x = np.stack(imgs[:cal_images])
+
+    t0 = time.perf_counter()
+    cpu = jax.devices("cpu")[0]
+    host_q, host_s = jax.device_get((quantize_encoder_params(fp), fs))
+    with jax.default_device(cpu):
+        cal = calibrate_activation_scales(
+            jax.tree.map(jnp.asarray, host_q),
+            jax.tree.map(jnp.asarray, host_s),
+            [jnp.asarray(x, dtype)])
+    print(f"[int8_encoder] calibrated static scales on {len(x)} training "
+          f"images in {time.perf_counter() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+    return jax.tree.map(jnp.asarray, jax.device_get(cal)), fs
 
 
 def make_train_dataset(opts: Options):
@@ -406,6 +466,10 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
                                 compute_dtype=cfg.compute_dtype,
                                 num_threads=opts.n_thread)
         dataset = CachedFeatureDataset(cache_dir, flip_prob=flip_prob)
+        if opts.int8_encoder:
+            print("[warn] --int8_encoder has no effect with "
+                  "--cache_features (no in-step encoder)", file=sys.stderr)
+        eval_enc = None
         fstep, state = make_distributed_feature_step(
             mesh, cfg, state, packed=bool(opts.pack_upload))
         # the encoder is out of the step but still serves every LFW eval:
@@ -425,6 +489,14 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
         else:
             batch_keys, batch_pack = list(FEATURE_KEYS), None
     else:
+        eval_enc = None
+        if opts.int8_encoder:
+            # LFW eval keeps the FLOAT encoder (accuracy-gated protocol);
+            # only the in-step frozen forward runs int8
+            eval_enc = (jax.device_put(enc_params, replicated(mesh)),
+                        jax.device_put(enc_state, replicated(mesh)))
+            enc_params, enc_state = prepare_int8_encoder(
+                enc_params, enc_state, dataset, cfg.compute_dtype)
         step, (enc_params, enc_state, state) = make_distributed_step(
             mesh, cfg, enc_params, enc_state, state,
             packed=bool(opts.pack_upload))
@@ -551,7 +623,7 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
             if opts.eval_freq and cur_iters % opts.eval_freq == 0 and opts.test_data:
                 flush_metrics()
                 rec = (state.params, state.model_state)
-                enc = (enc_params, enc_state)
+                enc = eval_enc or (enc_params, enc_state)
                 # mid-train params are mesh-placed: eval batches must join
                 # them on the SAME device set (replicated over the mesh) or
                 # jit rejects the mixed placements

@@ -233,3 +233,30 @@ def test_midtrain_eval_on_multidevice_mesh(tmp_path, monkeypatch, lfw_tree):
     pngs = glob.glob(os.path.join(opts.ckpt_dir, "visuals",
                                   "attention_*.png"))
     assert pngs, "expected --visualize 1 to dump an attention panel PNG"
+
+
+@pytest.mark.slow
+def test_int8_encoder_train(tmp_path, monkeypatch, capfd):
+    """--int8_encoder 1: the frozen encoder is BN-folded, int8-quantized,
+    and static-calibrated on REAL training images, then runs inside the
+    jitted train step (gradients never touch it — only RecNet params are
+    differentiated), while LFW eval keeps the float tree. The loop must
+    train to completion with finite per-iter losses. Measured win:
+    1.216x full-step throughput (BASELINE.md enc_arms duel); reference
+    has only the fp32 frozen forward (models/trainer.py:139-146)."""
+    from ffrnet_tpu.config import Options, parse_args
+    from ffrnet_tpu.train import train
+
+    # flag surface: parses from the CLI like every other option
+    assert parse_args(["--int8_encoder", "1"],
+                      make_dirs=False).int8_encoder == 1
+
+    monkeypatch.chdir(tmp_path)
+    opts = Options(phase="train", train_data="synthetic", num_classes=4,
+                   batch_size=8, total_epochs=1, optimizer="sgd", lr=1e-3,
+                   save_freq=1000, print_freq=1,  # flush (checks finite)
+                   eval_freq=0, n_thread=2, seed=0, int8_encoder=1,
+                   weight_root=str(tmp_path / "w")).finalize()
+    train(opts)  # 16 samples / batch 8 = 2 int8-encoder steps
+    err = capfd.readouterr().err
+    assert "[int8_encoder] calibrated static scales" in err
