@@ -52,7 +52,14 @@ def main(argv=None):
                    choices=["fp32", "bf16"])
     p.add_argument("--cal_batch", type=int, default=8)
     p.add_argument("--skip_pipeline", action="store_true")
+    p.add_argument("--pipeline_batches", type=str, default="",
+                   help="comma-separated pipeline batch sizes (default: "
+                        "--batch); all run in one process so per-face "
+                        "rates are comparable across sizes")
     args = p.parse_args(argv)
+    args.pipeline_batches = ([int(x) for x in
+                              args.pipeline_batches.split(",")]
+                             if args.pipeline_batches else None)
 
     import jax
     import jax.numpy as jnp
@@ -136,6 +143,11 @@ def main(argv=None):
     print(f"[bench_int8_recnet] isolated: {iso}", file=sys.stderr, flush=True)
 
     # --- duel 2: in-situ fused pipeline -------------------------------------
+    # Per --pipeline_batches entry (default: --batch), interleaved bf16- vs
+    # int8-RecNet arms on top of the static-int8 encoder. Batches run in ONE
+    # process, so per-face rates ARE comparable across batch sizes (the
+    # bf16 pipeline's own sweep pinned 256; int8 scales differently —
+    # static encoder holds 1.42x at 512 where dynamic collapsed).
     if not args.skip_pipeline:
         senc, status = static_encoder_tree(
             jax.device_put(quantize_encoder_params(enc_p)), enc_s, dtype,
@@ -144,47 +156,52 @@ def main(argv=None):
                 fold_bn=os.environ.get("FFRNET_BENCH_FOLD_BN", "1"),
                 dtype_name=args.dtype))
         out["enc_scales_cache"] = status
+        out["pipeline"] = {}
 
-        raw = jax.device_put(jnp.asarray(
-            rng.uniform(0, 255, (b, 250, 250, 3)), dtype))
-        lmk_host = (ARCFACE_REF_PTS[None] * 2.1
-                    + rng.normal(0, 2, (b, 5, 2)) + 15).astype(np.float32)
-        lmk = jax.device_put(jnp.asarray(lmk_host))
-        wcfg = auto_warp_config(lmk_host, ARCFACE_REF_PTS, (250, 250),
-                                (112, 112))
+        for pb in (args.pipeline_batches or [b]):
+            raw = jax.device_put(jnp.asarray(
+                rng.uniform(0, 255, (pb, 250, 250, 3)), dtype))
+            lmk_host = (ARCFACE_REF_PTS[None] * 2.1
+                        + rng.normal(0, 2, (pb, 5, 2)) + 15).astype(
+                            np.float32)
+            lmk = jax.device_put(jnp.asarray(lmk_host))
+            wcfg = auto_warp_config(lmk_host, ARCFACE_REF_PTS, (250, 250),
+                                    (112, 112))
 
-        def pipe(rp, raw_in):
-            ref = jnp.broadcast_to(jnp.asarray(ARCFACE_REF_PTS), lmk.shape)
-            mats = cv2_transform(lmk, ref)
-            al = warp_affine_tiled(raw_in, mats, out_hw=(112, 112),
-                                   tile=wcfg[0], crop=wcfg[1])
-            x = (al.astype(dtype) / 127.5) - 1.0
-            featmap, _, _ = irse.apply(senc, enc_s, x, training=False)
-            (v, _), _ = recnet.apply(rp, rec_s, featmap, cfg=cfg,
-                                     training=False)
-            return pair_cosine(v[0::2].astype(jnp.float32),
-                               v[1::2].astype(jnp.float32))
+            def pipe(rp, raw_in, lmk=lmk, wcfg=wcfg):
+                ref = jnp.broadcast_to(jnp.asarray(ARCFACE_REF_PTS),
+                                       lmk.shape)
+                mats = cv2_transform(lmk, ref)
+                al = warp_affine_tiled(raw_in, mats, out_hw=(112, 112),
+                                       tile=wcfg[0], crop=wcfg[1])
+                x = (al.astype(dtype) / 127.5) - 1.0
+                featmap, _, _ = irse.apply(senc, enc_s, x, training=False)
+                (v, _), _ = recnet.apply(rp, rec_s, featmap, cfg=cfg,
+                                         training=False)
+                return pair_cosine(v[0::2].astype(jnp.float32),
+                                   v[1::2].astype(jnp.float32))
 
-        p_bf16 = (lambda r: pipe(rec_p, r))
-        p_int8 = (lambda r: pipe(srec, r))
-        ms_b, ms_q = [], []
-        for _ in range(args.rounds):
-            ms_b.append(time_op(p_bf16, raw, iters=args.iters))
-            ms_q.append(time_op(p_int8, raw, iters=args.iters))
-        best_b = min([x for x in ms_b if x > 0.0] or [0.0])
-        best_q = min([x for x in ms_q if x > 0.0] or [0.0])
-        out["pipeline"] = {
-            "arms": "int8_static_enc + {bf16, int8_static} recnet",
-            "pipeline_ms_rec_bf16": round(best_b, 3),
-            "pipeline_ms_rec_int8": round(best_q, 3),
-            "faces_per_sec_rec_bf16": round(b / (best_b / 1e3), 1),
-            "faces_per_sec_rec_int8": round(b / (best_q / 1e3), 1),
-            "speedup": round(best_b / max(best_q, 1e-9), 3),
-            "rounds_ms_rec_bf16": [round(v, 3) for v in ms_b],
-            "rounds_ms_rec_int8": [round(v, 3) for v in ms_q],
-        }
-        print(f"[bench_int8_recnet] pipeline: {out['pipeline']}",
-              file=sys.stderr, flush=True)
+            p_bf16 = (lambda r, f=pipe: f(rec_p, r))
+            p_int8 = (lambda r, f=pipe: f(srec, r))
+            ms_b, ms_q = [], []
+            for _ in range(args.rounds):
+                ms_b.append(time_op(p_bf16, raw, iters=args.iters))
+                ms_q.append(time_op(p_int8, raw, iters=args.iters))
+            best_b = min([x for x in ms_b if x > 0.0] or [0.0])
+            best_q = min([x for x in ms_q if x > 0.0] or [0.0])
+            sec = {
+                "arms": "int8_static_enc + {bf16, int8_static} recnet",
+                "pipeline_ms_rec_bf16": round(best_b, 3),
+                "pipeline_ms_rec_int8": round(best_q, 3),
+                "faces_per_sec_rec_bf16": round(pb / (best_b / 1e3), 1),
+                "faces_per_sec_rec_int8": round(pb / (best_q / 1e3), 1),
+                "speedup": round(best_b / max(best_q, 1e-9), 3),
+                "rounds_ms_rec_bf16": [round(v, 3) for v in ms_b],
+                "rounds_ms_rec_int8": [round(v, 3) for v in ms_q],
+            }
+            out["pipeline"][str(pb)] = sec
+            print(f"[bench_int8_recnet] pipeline b{pb}: {sec}",
+                  file=sys.stderr, flush=True)
 
     print(json.dumps(out))
 
