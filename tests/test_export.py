@@ -37,3 +37,23 @@ def test_export_symbolic_batch_roundtrip(tmp_path):
                                    atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(rect_rt), np.asarray(rect),
                                    atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_export_int8_all_model():
+    """The calibrated int8 tree (encoder + RecNet conv chains) must lower
+    through jax.export too: quant/dequant are pure jnp ops, so the int8
+    deployment artifact needs no custom calls. Trace-only (no execution —
+    int8 emulation on CPU is too slow to run here)."""
+    from ffrnet_tpu.tools.export_model import export_embed
+
+    m = FFRNet.random(0).prepare(fold_bn=True, quantize_int8="all")
+    cal = np.random.default_rng(2).uniform(
+        -1, 1, (2, 112, 112, 3)).astype(np.float32)
+    m = m.calibrate_int8([cal])
+    exp = export_embed(m, symbolic_batch=True)
+    txt = exp.mlir_module()
+    # int8 weights must actually be in the module (not dequantized away
+    # at trace time) for the MXU int8 path to survive deployment
+    assert "i8" in txt
+    assert exp.in_avals[0].shape[1:] == (112, 112, 3)
