@@ -57,6 +57,13 @@ def main(argv=None):
                         "differentiated). Interleaved rounds, chained "
                         "timing; overrides --features")
     p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--converge", type=int, default=0,
+                   help="with --enc_arms: also run N REAL optimization "
+                        "steps per arm (float vs int8_static encoder) on "
+                        "identical synthetic identity data and report "
+                        "final TrainAcc / triplet gap / loss — trajectory "
+                        "evidence that int8-encoder training learns "
+                        "equivalently, not just faster")
     args = p.parse_args(argv)
 
     import jax
@@ -142,6 +149,43 @@ def main(argv=None):
             rec[f"speedup_{k}"] = round(
                 rec["step_ms_float"] / max(rec[f"step_ms_{k}"], 1e-9), 3)
         print(json.dumps(rec))
+
+        if args.converge:
+            # convergence A/B: same data order per arm, small head that
+            # CAN converge in N steps; folding is exact so only the
+            # float/int8 pair is informative
+            from ffrnet_tpu.data.datasets import SyntheticPairs
+
+            n_ids = min(args.num_classes, 64)
+            ds = SyntheticPairs(num_identities=n_ids, samples_per_id=4,
+                                seed=3)
+            ccfg = TrainerConfig(optimizer="adam", lr=1e-3,
+                                 compute_dtype=args.dtype,
+                                 recnet=RecNetConfig(num_classes=n_ids))
+            cstep = jax.jit(functools.partial(train_step, cfg=ccfg))
+            conv = {}
+            for k in ("float", "int8_static"):
+                ep, es = arms[k]
+                st = create_train_state(jax.random.PRNGKey(1), ccfg)
+                order = np.random.default_rng(1)
+                srng = np.random.default_rng(2)
+                m = None
+                for _ in range(args.converge):
+                    idx = order.choice(len(ds), args.batch, replace=True)
+                    samples = [ds.get(int(i), srng) for i in idx]
+                    bc = {kk: jnp.asarray(np.stack([s[kk] for s in samples]))
+                          for kk in ("img_non", "img_ocl", "label")}
+                    st, m = cstep(ep, es, st, bc)
+                m = jax.device_get(m)
+                conv[k] = {
+                    "TrainAcc": round(float(m["TrainAcc"]), 4),
+                    "triplet_gap": round(
+                        float(m["NegDist"]) - float(m["PosDist"]), 4),
+                    "TotalLoss": round(float(m["TotalLoss"]), 3)}
+            print(json.dumps({"tool": "bench_train_enc_arms_converge",
+                              "steps": args.converge, "batch": args.batch,
+                              "num_classes": n_ids, "dtype": args.dtype,
+                              "arms": conv}))
         return
 
     if args.features:
