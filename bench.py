@@ -266,11 +266,17 @@ def _int8_section(enc_params, enc_state, dtype):
     return section, (sparams if use_static else qparams)
 
 
-def _eval_section(dtype):
+def _eval_section(dtype, trees=None, int8_trees=None):
     """Single-sync full-LFW-pass wall-clock (VERDICT r2 #2): the complete
     verification protocol (6000 pairs through encoder+RecNet, raw+rectified
     scores, 10-fold sweep, ONE host sync) as eval/runner.py runs it at
-    train-time eval cadence. Reference protocol: lfw/lfw_eval.py:226-287."""
+    train-time eval cadence. Reference protocol: lfw/lfw_eval.py:226-287.
+
+    trees: optional (enc_p, enc_s, rec_p, rec_s) from the headline pipeline
+    (folded + cast) so the optional int8 arm A/Bs against the same weights.
+    int8_trees: optional (q_enc, q_rec_or_None) quantized trees — adds a
+    same-session int8 eval-pass arm (the opt-in fast eval cadence) and
+    records the protocol-accuracy agreement between the arms."""
     import jax
     import jax.numpy as jnp
 
@@ -280,11 +286,15 @@ def _eval_section(dtype):
     from ffrnet_tpu.ops.nn import tree_cast_floats
 
     cfg = RecNetConfig()
-    enc_p, enc_s = irse.init(jax.random.PRNGKey(0))
-    rec_p, rec_s = recnet.init(jax.random.PRNGKey(1), cfg)
-    if dtype != jnp.float32:
-        enc_p, enc_s, rec_p, rec_s = (tree_cast_floats(t, dtype)
-                                      for t in (enc_p, enc_s, rec_p, rec_s))
+    if trees is not None:
+        enc_p, enc_s, rec_p, rec_s = trees
+    else:
+        enc_p, enc_s = irse.init(jax.random.PRNGKey(0))
+        rec_p, rec_s = recnet.init(jax.random.PRNGKey(1), cfg)
+        if dtype != jnp.float32:
+            enc_p, enc_s, rec_p, rec_s = (tree_cast_floats(t, dtype)
+                                          for t in (enc_p, enc_s, rec_p,
+                                                    rec_s))
 
     rng = np.random.default_rng(0)
     n = int(os.environ.get("FFRNET_BENCH_EVAL_PAIRS", "6000"))
@@ -305,20 +315,43 @@ def _eval_section(dtype):
         })
     score = make_pair_score_fn(cfg)
 
-    def one_pass():
+    def one_pass(ep, rp):
         t0 = time.perf_counter()
         res_new, res_raw = evaluate_pairs(
-            enc_p, enc_s, rec_p, rec_s, batches, cfg, score_fn=score)
-        float(res_new.mean_accuracy), float(res_raw.mean_accuracy)
-        return time.perf_counter() - t0
+            ep, enc_s, rp, rec_s, batches, cfg, score_fn=score)
+        accs = (float(res_new.mean_accuracy), float(res_raw.mean_accuracy))
+        return time.perf_counter() - t0, accs
 
-    t_compile = one_pass()
-    times = [one_pass() for _ in range(2)]
+    t_compile, accs_f = one_pass(enc_p, rec_p)
+    times = [one_pass(enc_p, rec_p)[0] for _ in range(2)]
     best = min(times)
-    return {"pass_seconds": round(best, 3), "pairs": n, "batch": bs,
-            "pairs_per_sec": round(n / best, 1),
-            "compile_pass_seconds": round(t_compile, 1),
-            "all_times": [round(t, 3) for t in times]}
+    section = {"pass_seconds": round(best, 3), "pairs": n, "batch": bs,
+               "pairs_per_sec": round(n / best, 1),
+               "compile_pass_seconds": round(t_compile, 1),
+               "all_times": [round(t, 3) for t in times]}
+    if int8_trees is not None:
+        # opt-in int8 eval cadence: same protocol, quantized encoder (+
+        # RecNet when available), same-session A/B against the float arm
+        # above plus a float recheck AFTER (relay drift guard)
+        q_enc, q_rec = int8_trees
+        rp_q = q_rec if q_rec is not None else rec_p
+        tq_compile, accs_q = one_pass(q_enc, rp_q)
+        times_q = [one_pass(q_enc, rp_q)[0] for _ in range(2)]
+        t_recheck = one_pass(enc_p, rec_p)[0]
+        best_f = min(best, t_recheck)
+        section.update({
+            "pass_seconds_int8": round(min(times_q), 3),
+            "pairs_per_sec_int8": round(n / min(times_q), 1),
+            "compile_pass_seconds_int8": round(tq_compile, 1),
+            "pass_seconds_float_recheck": round(t_recheck, 3),
+            "speedup_int8": round(best_f / min(times_q), 3),
+            "int8_arm": "enc+recnet" if q_rec is not None else "enc",
+            # protocol agreement on the shared synthetic pairs: (rectified,
+            # raw) accuracy deltas between the int8 and float arms
+            "acc_delta_int8": [round(abs(a - b), 4)
+                               for a, b in zip(accs_q, accs_f)],
+        })
+    return section
 
 
 def main():
@@ -515,6 +548,7 @@ def main():
         record["pallas"] = pallas_section
 
     # --- int8 encoder duel + opt-in int8 pipeline A/B (VERDICT r2 #2/#3) ---
+    qtree = srec = None
     if os.environ.get("FFRNET_BENCH_INT8", "1") == "1":
         try:
             int8_section, qtree = _int8_section(enc_params, enc_state, dtype)
@@ -581,10 +615,12 @@ def main():
         except Exception as e:  # pragma: no cover - never lose the headline
             record.setdefault("int8", {})["error"] = repr(e)
 
-    # --- single-sync LFW eval pass (VERDICT r2 #2) ---
+    # --- single-sync LFW eval pass (VERDICT r2 #2; int8 arm r3) ---
     if os.environ.get("FFRNET_BENCH_EVAL", "1") == "1":
         try:
-            record["lfw_eval"] = _eval_section(dtype)
+            record["lfw_eval"] = _eval_section(
+                dtype, trees=(enc_params, enc_state, rec_params, rec_state),
+                int8_trees=(qtree, srec) if qtree is not None else None)
             print(f"[bench] lfw_eval: {record['lfw_eval']}", file=sys.stderr,
                   flush=True)
         except Exception as e:  # pragma: no cover

@@ -9,6 +9,7 @@ dispatch contract in ops.nn.conv2d / ops.nn.linear.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ffrnet_tpu.models import irse
 from ffrnet_tpu.models.quantize import quantize_encoder_params
@@ -324,3 +325,33 @@ def test_api_calibrate_int8_recnet_only():
     # raw path identical (encoder untouched); rectified close
     assert _rel_err(raw_f, raw_q) < 1e-5
     assert (_cos_rows(rect_f, rect_q) > 0.99).all()
+
+
+@pytest.mark.slow  # ~160s: CPU int8 emulation + two pair-score compiles
+def test_quantized_model_evaluate_protocol():
+    """FFRNet.evaluate — the full 10-fold verification protocol
+    (lfw/lfw_eval.py:272-287) — runs on a quantized model: the eval
+    runner's jitted pair-score fn must trace cleanly over quantized
+    (dict) weight leaves, and the raw-score protocol output is identical
+    because recnet-only quantization leaves the encoder untouched.
+    RecNet-only keeps the CPU int8-emulation cost tiny; the int8 eval
+    arm in bench.py measures the full-speed variant on device."""
+    from ffrnet_tpu.api import FFRNet
+
+    rng = np.random.default_rng(11)
+    cal = rng.uniform(-1, 1, (1, 112, 112, 3)).astype(np.float32)
+    m_f = FFRNet.random(4)
+    m_q = m_f.prepare(quantize_int8="recnet").calibrate_int8([cal])
+
+    batches = [{
+        "img1": rng.uniform(-1, 1, (10, 112, 112, 3)).astype(np.float32),
+        "img2": rng.uniform(-1, 1, (10, 112, 112, 3)).astype(np.float32),
+        "label": rng.integers(0, 2, 10).astype(np.int64),
+    }]
+    acc_new_q, acc_raw_q = m_q.evaluate(batches)
+    acc_new_f, acc_raw_f = m_f.evaluate(batches)
+    assert acc_raw_q == acc_raw_f  # float encoder -> identical raw protocol
+    # rectified embeds track at >0.99 cosine; on 10 random pairs the fold
+    # accuracies themselves stay within one fold's quantum
+    assert abs(acc_new_q - acc_new_f) <= 0.2
+    assert 0.0 <= acc_new_q <= 1.0
