@@ -104,7 +104,7 @@ def _load_or_measure_baseline() -> float | None:
     return None
 
 
-def _pallas_section(dtype):
+def _pallas_section(dtype, timeout_s=None):
     """Probe Pallas execution on this host; if it works, duel each Pallas
     kernel against its XLA twin on bench shapes. Returns a dict for the
     bench JSON (explicit 'relay-blocked'/'error' verdict when not runnable —
@@ -120,8 +120,8 @@ def _pallas_section(dtype):
     # pallas-child timeout is a TRUE pallas hang, and a sweep child clears
     # the stale session a killed pallas child leaves behind before this
     # process acquires the chip
-    res = probe_pallas(
-        timeout_s=float(os.environ.get("FFRNET_PALLAS_PROBE_TIMEOUT", "120")))
+    res = probe_pallas(timeout_s=timeout_s or float(
+        os.environ.get("FFRNET_PALLAS_PROBE_TIMEOUT", "120")))
     section = {"verdict": res["verdict"],
                "probe": {k: res[k] for k in ("warm_s", "attempts", "sweep",
                                              "seconds") if k in res}}
@@ -625,6 +625,31 @@ def main():
                   flush=True)
         except Exception as e:  # pragma: no cover
             record["lfw_eval"] = {"error": repr(e)}
+
+    # --- pallas probe retry (VERDICT r3 weak #2) --------------------------
+    # A relay-level failure at minute ~0 (warm child never ran) says nothing
+    # about pallas, and relay health swings within minutes (BASELINE.md
+    # methodology notes) — so when the first probe failed at the relay
+    # level, give it ONE more chance here, ~10+ min later at the end of the
+    # run, before the artifact records "skipped". Both attempts are kept.
+    # A 'relay-blocked-timeout' verdict (plain XLA ran, pallas hung) is a
+    # real answer, not a transient — no retry for that.
+    if (pallas_section is not None
+            and str(pallas_section.get("verdict", "")).startswith(
+                "relay-unavailable")):
+        print("[bench] pallas probe retry: first attempt was a relay-level "
+              "failure, relay may have recovered", file=sys.stderr, flush=True)
+        try:
+            retry = _pallas_section(dtype, timeout_s=float(os.environ.get(
+                "FFRNET_PALLAS_RETRY_TIMEOUT", "360")))
+        except Exception as e:  # pragma: no cover - never lose the headline
+            retry = {"verdict": f"retry-error: {e!r}"}
+        retry["attempt"] = "retry-after-run"
+        retry["first_attempt"] = {k: pallas_section[k]
+                                  for k in ("verdict", "probe")
+                                  if k in pallas_section}
+        record["pallas"] = retry
+        print(f"[bench] pallas retry: {retry}", file=sys.stderr, flush=True)
 
     print(json.dumps(record))
 

@@ -73,45 +73,45 @@ def quantize_encoder_params(params, *, quantize_linear: bool = True):
     return out
 
 
-def _quantized_leaves(qparams):
-    """All quantized weight leaves of an irse params tree.
+def quantized_leaf_items(tree):
+    """[(path, leaf)] for every quantized weight leaf of ANY params tree.
 
-    Calibration matches collectors to sites BY LEAF, so the order carries
-    no semantic weight there — but bench.py's in-repo static-scale cache
-    (.int8_scales.json) pairs scales to sites BY POSITION in this list, so
-    the walk order below is load-bearing for that cache: do not reorder.
+    path is the '/'-joined key/index trail (e.g. "body/3/res/conv1/w") —
+    the STABLE identity of a quantization site. The scale cache
+    (tools/int8_cache.py) keys scales by these paths, so a refactor that
+    reorders the walk cannot silently mis-assign scales across sites;
+    only a rename/move of the site itself invalidates its entry (which is
+    exactly when its scale should be re-derived anyway). Walk order is
+    deterministic (sorted dict keys, list/tuple index order) but carries
+    no semantic weight anywhere.
     """
-    leaves = []
-    for unit in qparams["body"]:
-        if "shortcut" in unit and quant.is_quantized(unit["shortcut"]["conv"]["w"]):
-            leaves.append(unit["shortcut"]["conv"]["w"])
-        for name in ("conv1", "conv2"):
-            if quant.is_quantized(unit["res"][name]["w"]):
-                leaves.append(unit["res"][name]["w"])
-    if quant.is_quantized(qparams["output"]["linear"]["w"]):
-        leaves.append(qparams["output"]["linear"]["w"])
-    return leaves
+    items = []
 
-
-def tree_quantized_leaves(tree):
-    """All quantized weight leaves of ANY params tree (deterministic walk:
-    sorted dict keys, list order). Model-agnostic counterpart of
-    `_quantized_leaves` for trees that aren't irse-shaped (e.g. RecNet)."""
-    leaves = []
-
-    def walk(node):
+    def walk(node, path):
         if quant.is_quantized(node):
-            leaves.append(node)
+            items.append(("/".join(map(str, path)), node))
             return
         if isinstance(node, dict):
             for k in sorted(node):
-                walk(node[k])
+                walk(node[k], path + (k,))
         elif isinstance(node, (list, tuple)):
-            for v in node:
-                walk(v)
+            for i, v in enumerate(node):
+                walk(v, path + (i,))
 
-    walk(tree)
-    return leaves
+    walk(tree, ())
+    return items
+
+
+def tree_quantized_leaves(tree):
+    """All quantized weight leaves of ANY params tree (deterministic walk;
+    see quantized_leaf_items for the path-keyed variant)."""
+    return [leaf for _, leaf in quantized_leaf_items(tree)]
+
+
+# irse-shaped alias kept for older call sites; identical generic walk —
+# calibration matches collectors to sites BY LEAF and the scale cache
+# matches BY PATH, so no caller depends on a particular order.
+_quantized_leaves = tree_quantized_leaves
 
 
 def _quantize_conv_weights(node):

@@ -3,9 +3,17 @@
 The eager calibration pass costs minutes on this image's 1-core host CPU,
 and the scales are a pure function of (params seed, BN fold, dtype,
 calibration data) — so bench.py and the duel tools cache them in
-`.int8_scales.json` at the repo root and rehydrate by POSITION into
-`models.quantize._quantized_leaves` order (that walk order is documented
-as load-bearing there).
+`.int8_scales.json` at the repo root, keyed BY LEAF PATH (the
+'/'-joined trail from models.quantize.quantized_leaf_items, e.g.
+"body/3/res/conv1/w"). Path keys make rehydration refactor-proof: a
+reordered walk cannot mis-assign scales across sites, and a renamed /
+added / removed site shows up as a path-set mismatch → the cache entry
+is treated as stale and recalibrated, never silently shifted.
+
+Legacy entries (plain lists, paired to sites by position in the
+pre-round-4 walk order) are still readable: they're re-keyed by path on
+load using the ordering they were saved under, then migrated to the
+path-keyed format on the next save.
 
 Not a user-facing mechanism: real deployments calibrate once at load time
 via `FFRNet.calibrate_int8` and keep the model object.
@@ -41,9 +49,11 @@ def recnet_cache_key(*, fold_bn: str, dtype_name: str,
 
 
 def load_scales(cache_file: str, key: str):
-    """Cached x_scale list for `key`, or None. Tolerates older single-entry
-    payloads ({"key": ..., "x_scales": [...]}) and the multi-entry format
-    ({"entries": {key: [...]}})."""
+    """Cached scales for `key`, or None.
+
+    Returns a {leaf_path: scale} dict for current-format entries, or a
+    plain list for legacy positional entries (including the oldest
+    single-entry payloads {"key": ..., "x_scales": [...]})."""
     if not os.path.exists(cache_file):
         return None
     with open(cache_file) as f:
@@ -53,9 +63,10 @@ def load_scales(cache_file: str, key: str):
     return payload.get("entries", {}).get(key)
 
 
-def save_scales(cache_file: str, key: str, scales) -> None:
-    """Merge-save under the multi-entry format, preserving other keys
-    (including a legacy single-entry payload, folded into entries)."""
+def save_scales(cache_file: str, key: str, scales_by_path) -> None:
+    """Merge-save a {leaf_path: scale} dict under the multi-entry format,
+    preserving other keys (including legacy single-entry payloads, folded
+    into entries)."""
     entries = {}
     if os.path.exists(cache_file):
         try:
@@ -66,9 +77,61 @@ def save_scales(cache_file: str, key: str, scales) -> None:
                 entries.setdefault(payload["key"], payload["x_scales"])
         except (json.JSONDecodeError, OSError):
             entries = {}
-    entries[key] = [float(s) for s in scales]
+    entries[key] = {str(p): float(s) for p, s in scales_by_path.items()}
     with open(cache_file, "w") as f:
         json.dump({"entries": entries}, f)
+
+
+def _legacy_irse_order_paths(tree):
+    """Leaf paths in the pre-round-4 irse walk order (shortcut conv first
+    within each body unit, then res conv1/conv2, then the output linear) —
+    the order legacy list-format encoder cache entries were saved in."""
+    from ffrnet_tpu.ops import quant
+
+    paths = []
+    for i, unit in enumerate(tree["body"]):
+        if "shortcut" in unit and quant.is_quantized(unit["shortcut"]["conv"]["w"]):
+            paths.append(f"body/{i}/shortcut/conv/w")
+        for name in ("conv1", "conv2"):
+            if quant.is_quantized(unit["res"][name]["w"]):
+                paths.append(f"body/{i}/res/{name}/w")
+    if quant.is_quantized(tree["output"]["linear"]["w"]):
+        paths.append("output/linear/w")
+    return paths
+
+
+def _resolve_cached(cached, tree_items, legacy_paths):
+    """Match a cache payload to the tree's quantized sites.
+
+    cached: dict (path-keyed) or list (legacy positional) from load_scales.
+    tree_items: quantized_leaf_items(tree) of the tree being rehydrated.
+    legacy_paths: paths, in the order legacy lists were saved in.
+    Returns {path: scale} covering exactly the tree's sites, or None if
+    the entry is stale (site set / count changed since it was saved).
+    """
+    tree_paths = [p for p, _ in tree_items]
+    if isinstance(cached, list):
+        if len(cached) != len(legacy_paths) or set(legacy_paths) != set(tree_paths):
+            return None
+        return dict(zip(legacy_paths, cached))
+    if set(cached) != set(tree_paths):
+        return None
+    return cached
+
+
+def _rehydrate(qtree, by_path):
+    """New host tree with x_scale baked into each quantized leaf by path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ffrnet_tpu.models.quantize import quantized_leaf_items
+
+    sp = copy.deepcopy(jax.device_get(qtree))
+    items = quantized_leaf_items(sp)
+    assert len(items) == len(by_path), "scale cache/site count mismatch"
+    for path, leaf in items:
+        leaf["x_scale"] = jnp.float32(by_path[path])
+    return sp
 
 
 def static_encoder_tree(qparams, enc_state, dtype, *, cache_file: str,
@@ -76,18 +139,22 @@ def static_encoder_tree(qparams, enc_state, dtype, *, cache_file: str,
     """Device-put static-scale encoder tree, via the cache when possible.
 
     qparams: device int8-quantized encoder tree (no x_scale yet).
-    Returns (sparams, cache_status). On a miss, runs the eager host-CPU
-    calibration (minutes) and saves the scales under `cache_key`.
+    Returns (sparams, cache_status). On a miss or a stale entry (site-set
+    mismatch), runs the eager host-CPU calibration (minutes) and saves the
+    path-keyed scales under `cache_key`.
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from ffrnet_tpu.models.quantize import (_quantized_leaves,
-                                            calibrate_activation_scales)
+    from ffrnet_tpu.models.quantize import (calibrate_activation_scales,
+                                            quantized_leaf_items)
 
-    scales = load_scales(cache_file, cache_key)
-    if scales is not None:
+    tree_items = quantized_leaf_items(qparams)
+    cached = load_scales(cache_file, cache_key)
+    by_path = None if cached is None else _resolve_cached(
+        cached, tree_items, _legacy_irse_order_paths(qparams))
+    if by_path is not None:
         status = "hit"
     else:
         cpu = jax.devices("cpu")[0]
@@ -101,15 +168,12 @@ def static_encoder_tree(qparams, enc_state, dtype, *, cache_file: str,
                 [jnp.asarray(xcal, dtype)])  # serve-dtype batch: the eager
             # stem conv needs input dtype == weight dtype, and calibrating
             # at the serving dtype matches what inference will see
-        scales = [float(l["x_scale"]) for l in _quantized_leaves(cal)]
-        save_scales(cache_file, cache_key, scales)
-        status = "miss (calibrated + saved)"
+        by_path = {p: float(l["x_scale"]) for p, l in quantized_leaf_items(cal)}
+        save_scales(cache_file, cache_key, by_path)
+        status = ("stale (recalibrated + saved)" if cached is not None
+                  else "miss (calibrated + saved)")
 
-    sp = copy.deepcopy(jax.device_get(qparams))
-    leaves = _quantized_leaves(sp)
-    assert len(leaves) == len(scales), "scale cache/site count mismatch"
-    for leaf, s in zip(leaves, scales):
-        leaf["x_scale"] = jnp.float32(s)
+    sp = _rehydrate(qparams, by_path)
     return jax.device_put(jax.tree.map(jnp.asarray, sp)), status
 
 
@@ -123,8 +187,8 @@ def static_recnet_tree(qrec, rec_state, enc_fwd, dtype, *, cache_file: str,
     the JITTED float/int8 encoder forward returning the (N,7,7,512)
     featmap — calibration feature maps come from it ON DEVICE (cheap);
     only the tiny recnet-tree eager pass runs on the host CPU. Scales
-    rehydrate by POSITION into `tree_quantized_leaves` order (a
-    deterministic sorted-key walk, models/quantize.py:96-114).
+    rehydrate by leaf path (legacy recnet lists were saved in the generic
+    sorted walk order, which quantized_leaf_items still uses).
     Returns (srec, cache_status).
     """
     import jax
@@ -132,10 +196,13 @@ def static_recnet_tree(qrec, rec_state, enc_fwd, dtype, *, cache_file: str,
     import numpy as np
 
     from ffrnet_tpu.models.quantize import (
-        calibrate_recnet_activation_scales, tree_quantized_leaves)
+        calibrate_recnet_activation_scales, quantized_leaf_items)
 
-    scales = load_scales(cache_file, cache_key)
-    if scales is not None:
+    tree_items = quantized_leaf_items(qrec)
+    cached = load_scales(cache_file, cache_key)
+    by_path = None if cached is None else _resolve_cached(
+        cached, tree_items, [p for p, _ in tree_items])
+    if by_path is not None:
         status = "hit"
     else:
         xcal = jnp.asarray(np.random.default_rng(seed).uniform(
@@ -148,13 +215,10 @@ def static_recnet_tree(qrec, rec_state, enc_fwd, dtype, *, cache_file: str,
                 jax.tree.map(jnp.asarray, host_q),
                 jax.tree.map(jnp.asarray, host_s),
                 [jnp.asarray(fm_cal, dtype)], cfg=cfg)
-        scales = [float(l["x_scale"]) for l in tree_quantized_leaves(cal)]
-        save_scales(cache_file, cache_key, scales)
-        status = "miss (calibrated + saved)"
+        by_path = {p: float(l["x_scale"]) for p, l in quantized_leaf_items(cal)}
+        save_scales(cache_file, cache_key, by_path)
+        status = ("stale (recalibrated + saved)" if cached is not None
+                  else "miss (calibrated + saved)")
 
-    sp = copy.deepcopy(jax.device_get(qrec))
-    leaves = tree_quantized_leaves(sp)
-    assert len(leaves) == len(scales), "scale cache/site count mismatch"
-    for leaf, s in zip(leaves, scales):
-        leaf["x_scale"] = jnp.float32(s)
+    sp = _rehydrate(qrec, by_path)
     return jax.device_put(jax.tree.map(jnp.asarray, sp)), status

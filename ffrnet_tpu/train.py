@@ -418,19 +418,24 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
                   "the cache freezes ANY per-epoch augmentation beyond the "
                   "paired flip (e.g. SyntheticPairs noise is drawn once)",
                   file=sys.stderr)
-        build_enc_p, build_enc_s = enc_params, enc_state
-        if opts.int8_encoder:
+        def build_encoder():
             # int8-static cache BUILD: the build is ONE frozen-encoder pass
             # over every (sample, flip), so the static-int8 encoder win
-            # (1.42x at batch 256, BASELINE.md "Int8 encoder") applies to
-            # the whole pass. The cached features then carry the int8
-            # quantization error into every RecNet-only epoch — same
-            # opt-in trade as the in-step --int8_encoder path (convergence
-            # A/B matched float, BASELINE.md enc_arms); LFW eval keeps the
-            # float tree either way. cache_fingerprint hashes the int8
-            # leaves, so int8-built and float-built caches never collide.
-            build_enc_p, build_enc_s = prepare_int8_encoder(
-                enc_params, enc_state, flipfree, cfg.compute_dtype)
+            # applies to the whole pass (measured same-session:
+            # BASELINE.md "Int8 feature-cache build"). The cached features
+            # then carry the int8 quantization error into every
+            # RecNet-only epoch — same opt-in trade as the in-step
+            # --int8_encoder path (convergence A/B, BASELINE.md enc_arms);
+            # LFW eval keeps the float tree either way. cache_fingerprint
+            # hashes the int8 leaves, so int8-built and float-built caches
+            # never collide. Lazy: calibration costs minutes of eager
+            # host-CPU work, so only the process that actually builds
+            # (process 0, or a waiter falling back to a host-local dir)
+            # ever runs it.
+            if opts.int8_encoder:
+                return prepare_int8_encoder(
+                    enc_params, enc_state, flipfree, cfg.compute_dtype)
+            return enc_params, enc_state
         if jax.process_count() > 1:
             # one builder per shared cache_dir; waiters watch the builder's
             # per-batch lock heartbeat (feature_cache.lock_age_s). If
@@ -445,7 +450,7 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
             from ffrnet_tpu.training.feature_cache import lock_age_s
 
             if jax.process_index() == 0:
-                build_feature_cache(flipfree, build_enc_p, build_enc_s,
+                build_feature_cache(flipfree, *build_encoder(),
                                     cache_dir, batch_size=opts.batch_size,
                                     compute_dtype=cfg.compute_dtype,
                                     num_threads=opts.n_thread)
@@ -460,7 +465,7 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
                     if age is None and _time.time() > grace:
                         # no meta, no lock: host-local dir — build here
                         build_feature_cache(
-                            flipfree, build_enc_p, build_enc_s, cache_dir,
+                            flipfree, *build_encoder(), cache_dir,
                             batch_size=opts.batch_size,
                             compute_dtype=cfg.compute_dtype,
                             num_threads=opts.n_thread)
@@ -474,14 +479,16 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
                     _time.sleep(2.0)
             multihost_utils.sync_global_devices("ffrnet_feature_cache")
         else:
-            build_feature_cache(flipfree, build_enc_p, build_enc_s, cache_dir,
+            build_feature_cache(flipfree, *build_encoder(), cache_dir,
                                 batch_size=opts.batch_size,
                                 compute_dtype=cfg.compute_dtype,
                                 num_threads=opts.n_thread)
         dataset = CachedFeatureDataset(cache_dir, flip_prob=flip_prob)
         if opts.int8_encoder:
-            print("[warn] --int8_encoder has no effect with "
-                  "--cache_features (no in-step encoder)", file=sys.stderr)
+            print("[info] feature cache built with the int8-static "
+                  "encoder (quantization error is baked into the cached "
+                  "features for every epoch); no in-step encoder runs and "
+                  "LFW eval stays float", file=sys.stderr)
         eval_enc = None
         fstep, state = make_distributed_feature_step(
             mesh, cfg, state, packed=bool(opts.pack_upload))
