@@ -267,11 +267,13 @@ def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 1792,
     return out.reshape(n, out_h, out_w, c).astype(imgs.dtype)
 
 
-@partial(jax.jit, static_argnames=("out_hw", "tile", "crop", "serial"))
+@partial(jax.jit, static_argnames=("out_hw", "tile", "crop", "serial",
+                                   "compute_dtype", "y_int8"))
 def warp_affine_tiled(imgs, mats, *, out_hw: Tuple[int, int],
                       tile: Tuple[int, int] = (56, 16),
                       crop: Tuple[int, int] = (128, 128),
-                      serial: bool = True):
+                      serial: bool = True,
+                      compute_dtype=None, y_int8: bool = False):
     """2-D tiled MXU warp: crops BOTH source axes per output tile.
 
     Processes the output in (tile_h, tile_w) tiles; each tile dynamically
@@ -296,8 +298,37 @@ def warp_affine_tiled(imgs, mats, *, out_hw: Tuple[int, int],
     250->112 face alignment with modest rotation; use warp_rows_needed-style
     checks for unusual transforms, or warp_affine_mxu(crop_rows=0) for the
     unconditional path.
+
+    Integer sources (the loader's raw uint8 pixels, 0..255): pass the
+    uint8 array directly and set `compute_dtype` (e.g. jnp.bfloat16) —
+    the source then lives in HBM at 1 byte/pixel (4x less read traffic
+    than the reference-parity float path; the tiled windows re-read the
+    source once per overlapping band) and each tile's window casts to
+    `compute_dtype` in-register. Bit-identical to warping the same
+    values pre-cast to `compute_dtype`. Output is `compute_dtype` pixels
+    (still 0..255 — callers normalize), never quantized back to uint8.
+
+    `y_int8=True` additionally runs the y-interp contraction — the MXU
+    leg — in int8: pixels center to int8 (p-128), y-weights quantize to
+    round(127*wy), the einsum accumulates in int32 (2x MXU rate vs
+    bf16), and the exact identity sum_y (wq/127)(p-128) + 128*(sum wq)/127
+    = sum_y (wq/127) p reconstructs pixels in float before the (exact,
+    float) x-stage. PIXEL-ERROR BOUND: bilinear has <=2 taps/row with
+    weights summing to 1, each quantized within 0.5/127 — worst-case
+    |err| <= 2 * (0.5/127) * 255 = 2.01 pixel LSB, and the convex
+    x-stage cannot amplify it (tests/test_warp_int8.py measures ~<=1.6
+    observed). Requires pixel values on the 0..255 integer grid (uint8,
+    or a float array holding integers) and serial=True.
     """
     n, h, w, c = imgs.shape
+    if compute_dtype is not None:
+        cdtype = jnp.dtype(compute_dtype)
+    elif jnp.issubdtype(imgs.dtype, jnp.floating):
+        cdtype = imgs.dtype
+    else:
+        cdtype = jnp.dtype(jnp.float32)
+    if y_int8 and not serial:
+        raise ValueError("y_int8 warp requires serial=True")
     out_h, out_w = out_hw
     th, tw = tile
     crop_h, crop_w = crop
@@ -357,20 +388,30 @@ def warp_affine_tiled(imgs, mats, *, out_hw: Tuple[int, int],
                 lambda img, y0, x0: jax.lax.dynamic_slice(
                     img, (y0, x0, 0), (crop_h, crop_w, c))
             )(imgs_p, sy_start, sx_start)  # (N, crop_h, crop_w, c)
-        win_flat = window.reshape(n, crop_h, crop_w * c)
-
         y_rel = jnp.arange(crop_h, dtype=jnp.float32)
         wy = jax.nn.relu(1.0 - jnp.abs(
             y_rel[None, None, :] + sy_start[:, None, None].astype(jnp.float32)
             - sy[..., None]))
-        t = jnp.einsum("npy,nyf->npf", wy.astype(imgs.dtype), win_flat,
-                       preferred_element_type=jnp.float32)
-        t = t.astype(imgs.dtype).reshape(n, tp, crop_w, c)
+        if y_int8:
+            wq = jnp.round(wy * 127.0).astype(jnp.int8)  # (N, tp, crop_h)
+            wi8 = (window.astype(jnp.int16) - 128).astype(jnp.int8)
+            t32 = jnp.einsum("npy,nyf->npf", wq,
+                             wi8.reshape(n, crop_h, crop_w * c),
+                             preferred_element_type=jnp.int32)
+            wsum = jnp.sum(wq.astype(jnp.int32), axis=-1)  # (N, tp)
+            t = ((t32.astype(jnp.float32)
+                  + 128.0 * wsum[..., None].astype(jnp.float32))
+                 * jnp.float32(1.0 / 127.0))
+        else:
+            win_flat = window.astype(cdtype).reshape(n, crop_h, crop_w * c)
+            t = jnp.einsum("npy,nyf->npf", wy.astype(cdtype), win_flat,
+                           preferred_element_type=jnp.float32)
+        t = t.astype(cdtype).reshape(n, tp, crop_w, c)
         x_rel = jnp.arange(crop_w, dtype=jnp.float32)
         wx = jax.nn.relu(1.0 - jnp.abs(
             x_rel[None, None, :] + sx_start[:, None, None].astype(jnp.float32)
             - sx[..., None]))
-        return jnp.sum(wx.astype(imgs.dtype)[..., None] * t, axis=2,
+        return jnp.sum(wx.astype(cdtype)[..., None] * t, axis=2,
                        dtype=jnp.float32)  # (N, tp, c)
 
     if serial:
@@ -396,25 +437,26 @@ def warp_affine_tiled(imgs, mats, *, out_hw: Tuple[int, int],
             lambda y0, x0: jax.lax.dynamic_slice(
                 img, (y0, x0, 0), (crop_h, crop_w, c)))(y0s, x0s))(
             imgs_p, sy_start, sx_start)  # (N, T, crop_h, crop_w, c)
-        win_flat = window.reshape(n, n_tiles, crop_h, crop_w * c)
+        win_flat = window.astype(cdtype).reshape(n, n_tiles, crop_h,
+                                                 crop_w * c)
         y_rel = jnp.arange(crop_h, dtype=jnp.float32)
         wy = jax.nn.relu(1.0 - jnp.abs(
             y_rel[None, None, None, :]
             + sy_start[..., None, None].astype(jnp.float32)
             - sya[..., None]))  # (N, T, tp, crop_h)
-        t = jnp.einsum("ntpy,ntyf->ntpf", wy.astype(imgs.dtype), win_flat,
+        t = jnp.einsum("ntpy,ntyf->ntpf", wy.astype(cdtype), win_flat,
                        preferred_element_type=jnp.float32)
-        t = t.astype(imgs.dtype).reshape(n, n_tiles, tp, crop_w, c)
+        t = t.astype(cdtype).reshape(n, n_tiles, tp, crop_w, c)
         x_rel = jnp.arange(crop_w, dtype=jnp.float32)
         wx = jax.nn.relu(1.0 - jnp.abs(
             x_rel[None, None, None, :]
             + sx_start[..., None, None].astype(jnp.float32)
             - sxa[..., None]))  # (N, T, tp, crop_w)
-        out = jnp.sum(wx.astype(imgs.dtype)[..., None] * t, axis=3,
+        out = jnp.sum(wx.astype(cdtype)[..., None] * t, axis=3,
                       dtype=jnp.float32)  # (N, T, tp, c)
     out = out.reshape(n, nty, ntx, th, tw, c)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, oh, ow, c)
-    return out[:, :out_h, :out_w].astype(imgs.dtype)
+    return out[:, :out_h, :out_w].astype(cdtype)
 
 
 def _invert_2x3_np(mats) -> np.ndarray:
