@@ -346,6 +346,9 @@ class SyntheticPairs:
     samples_per_id: int = 4
     seed: int = 0
     host_normalize: bool = True  # False = quantized uint8 samples
+    noise: float = 0.05  # per-sample noise std; raise to delay TrainAcc
+    # saturation (convergence A/Bs need a regime where 60 steps can't
+    # reach 1.0, VERDICT r3 weak #3)
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
@@ -357,7 +360,7 @@ class SyntheticPairs:
 
     def get(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         label = idx % self.num_identities
-        img = self.templates[label] + 0.05 * rng.standard_normal(
+        img = self.templates[label] + self.noise * rng.standard_normal(
             (112, 112, 3)).astype(np.float32)
         mask = img.copy()
         mask[60:100, 20:92] = -1.0

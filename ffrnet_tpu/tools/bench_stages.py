@@ -58,6 +58,10 @@ def main(argv=None):
                    choices=["fp32", "bf16"])
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--fold_bn", type=int, default=1)
+    p.add_argument("--int8", type=int, default=0,
+                   help="add int8-static encoder/RecNet rows (scale cache "
+                        "hit path) and print the int8 serving-pipeline "
+                        "stage-share table (VERDICT r3 next #5)")
     args = p.parse_args(argv)
 
     import jax
@@ -151,12 +155,59 @@ def main(argv=None):
     record("warp_tiled", time_op(
         lambda r: warp_affine_tiled(r, mats, out_hw=(112, 112)), raw,
         args.iters))
+    # the production serving config (bench.py auto_warp_config pick)
+    record("warp_band", time_op(
+        lambda r: warp_affine_tiled(r, mats, out_hw=(112, 112),
+                                    tile=(112, 8), crop=(256, 40)), raw,
+        args.iters))
     record("warp_rowcrop", time_op(
         lambda r: warp_affine_mxu(r, mats, out_hw=(112, 112), crop_rows=128),
         raw, args.iters))
     if args.iters <= 4:  # gather warp is slow; only on short runs
         record("warp_gather", time_op(
             lambda r: warp_affine(r, mats, out_hw=(112, 112)), raw, 2))
+
+    if args.int8:
+        from ffrnet_tpu.models.quantize import (quantize_encoder_params,
+                                                quantize_recnet_params)
+        from ffrnet_tpu.tools.int8_cache import (
+            default_cache_file, encoder_cache_key, recnet_cache_key,
+            static_encoder_tree, static_recnet_tree)
+
+        sp, st_enc = static_encoder_tree(
+            jax.device_put(quantize_encoder_params(params)), state, dtype,
+            cache_file=default_cache_file(),
+            cache_key=encoder_cache_key(fold_bn=str(args.fold_bn),
+                                        dtype_name=args.dtype))
+        print(f"[stages] enc scale cache: {st_enc}", file=sys.stderr,
+              flush=True)
+        record("encoder_int8", time_op(
+            lambda x: irse.apply(sp, state, x, training=False)[1], x,
+            args.iters))
+        enc_fwd = jax.jit(
+            lambda xx: irse.apply(params, state, xx, training=False)[0])
+        srec, st_rec = static_recnet_tree(
+            jax.device_put(quantize_recnet_params(rp)), rs, enc_fwd, dtype,
+            cache_file=default_cache_file(), cfg=cfg,
+            cache_key=recnet_cache_key(fold_bn=str(args.fold_bn),
+                                       dtype_name=args.dtype))
+        print(f"[stages] recnet scale cache: {st_rec}", file=sys.stderr,
+              flush=True)
+        record("recnet_int8", time_op(
+            lambda z: recnet.apply(srec, rs, z, cfg=cfg,
+                                   training=False)[0][0], fm, args.iters))
+        # int8 serving-pipeline stage shares (sum-of-stages view; the
+        # fused pipeline overlaps some of this — compare with bench.py's
+        # int8_recnet_pipeline ms for the fusion gain)
+        stages = {"cp2tform_solve": results["cp2tform_solve"]["ms"],
+                  "warp_band": results["warp_band"]["ms"],
+                  "encoder_int8": results["encoder_int8"]["ms"],
+                  "recnet_int8": results["recnet_int8"]["ms"]}
+        tot = sum(stages.values())
+        results["int8_stage_shares"] = {
+            k: {"ms": v, "share": round(v / tot, 3)}
+            for k, v in stages.items()}
+        results["int8_stage_shares"]["sum_ms"] = round(tot, 3)
 
     print(json.dumps({"batch": b, "dtype": args.dtype, "results": results}))
 

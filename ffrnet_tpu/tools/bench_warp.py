@@ -31,6 +31,12 @@ def main(argv=None):
     p.add_argument("--src", type=int, default=250, help="source image side")
     p.add_argument("--configs", type=str, default="",
                    help="override candidates: 'th,tw,ch,cw;th,tw,ch,cw;...'")
+    p.add_argument("--u8_duel", type=int, default=0,
+                   help="storage/precision duel at ONE config (the first "
+                        "candidate, or --configs): bf16-source vs "
+                        "uint8-source (1-byte HBM reads, exact) vs "
+                        "uint8-source + int8-MXU y-stage (2.01-LSB pixel "
+                        "bound) — interleaved rounds, then exit")
     args = p.parse_args(argv)
 
     import jax
@@ -75,6 +81,40 @@ def main(argv=None):
         for spec in args.configs.split(";"):
             th, tw, ch, cw = (int(v) for v in spec.split(","))
             configs.append(((th, tw), (ch, cw)))
+    if args.u8_duel:
+        tile, crop = configs[0]
+        if not warp_tile_bound_ok(mats_np, tile, crop):
+            record(f"u8_duel{tile}x{crop}", None, skipped="bound")
+            return
+        raw_u8 = jnp.asarray(rng.integers(
+            0, 256, (args.batch, args.src, args.src, 3)), jnp.uint8)
+        # float arm warps the SAME pixel values pre-cast (honest A/B:
+        # identical transforms and outputs; only storage/precision differ)
+        raw_f = raw_u8.astype(dtype)
+        arms = {
+            "src_" + args.dtype: (lambda r: warp_affine_tiled(
+                r, mats, out_hw=(112, 112), tile=tile, crop=crop), raw_f),
+            "src_u8": (lambda r: warp_affine_tiled(
+                r, mats, out_hw=(112, 112), tile=tile, crop=crop,
+                compute_dtype=dtype), raw_u8),
+            "src_u8_yint8": (lambda r: warp_affine_tiled(
+                r, mats, out_hw=(112, 112), tile=tile, crop=crop,
+                compute_dtype=dtype, y_int8=True), raw_u8),
+        }
+        res = {k: [] for k in arms}
+        for _ in range(3):  # interleaved rounds
+            for k, (fn, x0) in arms.items():
+                ms = time_op(fn, x0, iters=args.iters)
+                if ms > 0.0:
+                    res[k].append(ms)
+        base = min(res["src_" + args.dtype] or [0.0])
+        for k, v in res.items():
+            best = min(v) if v else None
+            record(f"u8_duel{tile}x{crop}:{k}", best,
+                   speedup=(round(base / best, 3)
+                            if best and base else None))
+        return
+
     for tile, crop in configs:
         if not warp_tile_bound_ok(mats_np, tile, crop):
             record(f"tiled{tile}x{crop}", None, skipped="bound")
