@@ -420,10 +420,13 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
                   file=sys.stderr)
         def build_encoder():
             # int8-static cache BUILD: the build is ONE frozen-encoder pass
-            # over every (sample, flip), so the static-int8 encoder win
-            # applies to the whole pass (measured same-session:
-            # BASELINE.md "Int8 feature-cache build"). The cached features
-            # then carry the int8 quantization error into every
+            # over every (sample, flip). Measured (BASELINE.md round-4
+            # "Int8 feature-cache BUILD"): through a relay-attached
+            # device the pass is feature-download-bound (encode <1% of
+            # the pass) and int8 is a WASH (0.998x); on directly-attached
+            # hosts the encode share bounds the gain at the static-int8
+            # encoder win (1.42-1.51x). The cached features
+            # carry the int8 quantization error into every
             # RecNet-only epoch — same opt-in trade as the in-step
             # --int8_encoder path (convergence A/B, BASELINE.md enc_arms);
             # LFW eval keeps the float tree either way. cache_fingerprint
