@@ -53,6 +53,10 @@ def main(argv=None):
                    choices=["fp32", "bf16"])
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--cal_images", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0,
+                   help="offsets every PRNG stream (data templates, encoder "
+                        "init, RecNet init, eval pairs, per-step keys) so a "
+                        "second run is a genuinely independent replicate")
     p.add_argument("--out", type=str, default="docs/int8_convergence.json")
     args = p.parse_args(argv)
 
@@ -72,10 +76,10 @@ def main(argv=None):
     # host dataset only feeds calibration (prepare_int8_encoder samples its
     # first images) — training data itself is generated on device below
     # from the SAME templates + noise model
-    ds = SyntheticPairs(num_identities=n_ids, samples_per_id=4, seed=3,
+    ds = SyntheticPairs(num_identities=n_ids, samples_per_id=4, seed=3 + args.seed,
                         noise=args.noise)
 
-    enc_p, enc_s = irse.init(jax.random.PRNGKey(0))
+    enc_p, enc_s = irse.init(jax.random.PRNGKey(args.seed))
     q_p, q_s = prepare_int8_encoder(enc_p, enc_s, ds, args.dtype,
                                     cal_images=args.cal_images)
     enc_p, enc_s = jax.device_put((enc_p, enc_s))
@@ -85,7 +89,7 @@ def main(argv=None):
     templates = jax.device_put(jnp.asarray(ds.templates))
     make_batch = make_batch_fn(templates, args.batch, n_ids, args.noise)
     img1, img2, pair_lab = make_eval_pairs(
-        templates, jax.random.PRNGKey(42), args.eval_pairs, n_ids,
+        templates, jax.random.PRNGKey(42 + args.seed), args.eval_pairs, n_ids,
         args.noise)
 
     cfg = TrainerConfig(optimizer="adam", lr=args.lr,
@@ -94,35 +98,53 @@ def main(argv=None):
     jstep = jax.jit(functools.partial(train_step, cfg=cfg))
     score = make_pair_score_fn(cfg.recnet)
 
-    def eval_ckpt(st):
+    def eval_ckpt(st, arm_enc=None):
         # float encoder for BOTH arms (driver behavior: eval never sees the
-        # int8 tree); one 2N pass, single device_get
+        # int8 tree); one 2N pass, single device_get. When the arm trains
+        # on a DIFFERENT encoder tree (int8), also score with that tree —
+        # the arm-consistent column separates train/eval feature mismatch
+        # (float eval of an int8-trained RecNet) from actual RecNet damage.
         s_raw, s_new = score(enc_p, enc_s, st.params, st.model_state,
                              img1, img2)
-        res_new, res_raw = jax.device_get(
-            (kfold_verification(s_new, pair_lab),
-             kfold_verification(s_raw, pair_lab)))
-        return float(res_new.mean_accuracy), float(res_raw.mean_accuracy)
+        res = [kfold_verification(s_new, pair_lab),
+               kfold_verification(s_raw, pair_lab)]
+        if arm_enc is not None:
+            # the int8 tree is cast to the compute dtype (bf16), so the
+            # arm-consistent pass casts images + RecNet tree to match —
+            # the bf16-vs-f32 eval difference is orders below the
+            # late-horizon divergence this column attributes
+            from ffrnet_tpu.ops.nn import tree_cast_floats
+            cdt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+            _, s_arm = score(arm_enc[0], arm_enc[1],
+                             tree_cast_floats(st.params, cdt),
+                             tree_cast_floats(st.model_state, cdt),
+                             img1.astype(cdt), img2.astype(cdt))
+            res.append(kfold_verification(s_arm, pair_lab))
+        res = jax.device_get(res)
+        return tuple(float(r.mean_accuracy) for r in res)
 
     t_start = time.perf_counter()
     curves = {}
     for name, (ep, es) in arms.items():
-        st = create_train_state(jax.random.PRNGKey(1), cfg)
+        st = create_train_state(jax.random.PRNGKey(1 + args.seed), cfg)
         curve = []
         m = None
+        arm_enc = (ep, es) if name != "float" else None
         for step in range(1, args.steps + 1):
             # identical key sequence per arm -> identical data stream
-            st, m = jstep(ep, es, st, make_batch(jax.random.PRNGKey(step)))
+            st, m = jstep(ep, es, st, make_batch(jax.random.PRNGKey(args.seed * 100000 + step)))
             if step % args.ckpt_every == 0 or step == args.steps:
                 mh = jax.device_get(m)
-                acc_rect, acc_raw = eval_ckpt(st)
+                accs = eval_ckpt(st, arm_enc)
                 curve.append({
                     "step": step,
                     "TrainAcc": round(float(mh["TrainAcc"]), 4),
                     "TotalLoss": round(float(mh["TotalLoss"]), 4),
-                    "eval_acc_rect": round(acc_rect, 4),
-                    "eval_acc_raw": round(acc_raw, 4),
+                    "eval_acc_rect": round(accs[0], 4),
+                    "eval_acc_raw": round(accs[1], 4),
                 })
+                if arm_enc is not None:
+                    curve[-1]["eval_acc_rect_armenc"] = round(accs[2], 4)
                 print(f"[{name}] {curve[-1]}", file=sys.stderr, flush=True)
         curves[name] = curve
 
@@ -138,7 +160,7 @@ def main(argv=None):
         "config": {"steps": args.steps, "batch": args.batch,
                    "num_classes": n_ids, "noise": args.noise,
                    "dtype": args.dtype, "lr": args.lr,
-                   "eval_pairs": args.eval_pairs,
+                   "eval_pairs": args.eval_pairs, "seed": args.seed,
                    "eval_protocol": "10-fold threshold sweep, ocl-1 pairs, "
                                     "float encoder both arms"},
         "arms": curves,
