@@ -99,9 +99,12 @@ def main(argv=None):
         img1, img2, lab = make_eval_pairs(
             templates, jax.random.PRNGKey(1000 + s), args.eval_pairs,
             n_ids, args.noise)
-        # evaluate_pairs batches (device-resident: zero re-upload)
+        # evaluate_pairs batches (device-resident: zero re-upload); images
+        # cast to the compute dtype — every tree below (folded float
+        # reference included) is tree_cast_floats to `dtype`
         bs = 200
-        batches = [{"img1": img1[i:i + bs], "img2": img2[i:i + bs],
+        batches = [{"img1": img1[i:i + bs].astype(dtype),
+                    "img2": img2[i:i + bs].astype(dtype),
                     "label": lab[i:i + bs]}
                    for i in range(0, args.eval_pairs, bs)]
 
