@@ -530,11 +530,22 @@ def main():
         _mark("model_fn compiled+ran", t0)
     run_chain(WARMUP)  # warm
     _mark("warmup done", t0)
-    t_short = run_chain(2)
-    t_long = run_chain(2 + ITERS)
-    # slope removes the constant RTT + dispatch overhead
-    dt = max(t_long - t_short, 1e-9)
-    faces_per_sec = BATCH * ITERS / dt
+    # slope removes the constant RTT + dispatch overhead; min over 3
+    # rounds makes the headline stall-proof — this relay shows
+    # multi-minute dead phases (r4 session: a 28-min stall mid-run), and
+    # a one-shot slope caught inside one would poison the artifact of
+    # record. min (not median) is correct for a lower-bound latency
+    # measure: stalls only ever ADD time.
+    def slope_fps(fn=None, rounds=3):
+        sl = []
+        for _ in range(rounds):
+            t_short = run_chain(2, fn=fn)
+            t_long = run_chain(2 + ITERS, fn=fn)
+            sl.append(max(t_long - t_short, 1e-9))
+        return BATCH * ITERS / min(sl), sl
+
+    faces_per_sec, slopes = slope_fps()
+    dt = min(slopes)
 
     baseline = _load_or_measure_baseline()
     vs = faces_per_sec / baseline if baseline else 0.0
@@ -543,6 +554,9 @@ def main():
         "value": round(faces_per_sec, 2),
         "unit": "faces/s",
         "vs_baseline": round(vs, 2),
+        # per-round headline slopes (s for ITERS batches): the spread is
+        # the relay-health record for this artifact — value uses min
+        "slope_rounds_s": [round(s, 3) for s in slopes],
     }
     if pallas_section is not None:
         record["pallas"] = pallas_section
@@ -559,12 +573,8 @@ def main():
                 int8_pipe = make_fused(qtree)
                 run_chain(1 + WARMUP, fn=int8_pipe)  # compile + warm
                 _mark("int8 pipeline compiled+warm", t0)
-                tq_s = run_chain(2, fn=int8_pipe)
-                tq_l = run_chain(2 + ITERS, fn=int8_pipe)
-                fps_q = BATCH * ITERS / max(tq_l - tq_s, 1e-9)
-                tf_s = run_chain(2)
-                tf_l = run_chain(2 + ITERS)
-                fps_f = BATCH * ITERS / max(tf_l - tf_s, 1e-9)
+                fps_q, _ = slope_fps(fn=int8_pipe)
+                fps_f, _ = slope_fps()
                 record["int8_pipeline"] = {
                     "arm": int8_section["pipeline_arm"],
                     "faces_per_sec_int8": round(fps_q, 2),
@@ -595,12 +605,8 @@ def main():
                     int8r_pipe = make_fused(qtree, srec)
                     run_chain(1 + WARMUP, fn=int8r_pipe)  # compile + warm
                     _mark("int8-recnet pipeline compiled+warm", t0)
-                    tr_s = run_chain(2, fn=int8r_pipe)
-                    tr_l = run_chain(2 + ITERS, fn=int8r_pipe)
-                    fps_r = BATCH * ITERS / max(tr_l - tr_s, 1e-9)
-                    tq2_s = run_chain(2, fn=int8_pipe)  # enc-only recheck
-                    tq2_l = run_chain(2 + ITERS, fn=int8_pipe)
-                    fps_q2 = BATCH * ITERS / max(tq2_l - tq2_s, 1e-9)
+                    fps_r, _ = slope_fps(fn=int8r_pipe)
+                    fps_q2, _ = slope_fps(fn=int8_pipe)  # enc-only recheck
                     record["int8_recnet_pipeline"] = {
                         "arms": "int8_enc+int8_recnet vs int8_enc+bf16_recnet",
                         "scales_cache": rstatus,
@@ -650,6 +656,39 @@ def main():
                                   if k in pallas_section}
         record["pallas"] = retry
         print(f"[bench] pallas retry: {retry}", file=sys.stderr, flush=True)
+
+    # --- committed evidence pointers (VERDICT r3 next #4/#6) -------------
+    # Summaries of the round's accuracy-evidence artifacts ride along in
+    # the driver-captured record so the artifact of record carries them;
+    # full curves/tables stay in docs/.
+    try:
+        ev = {}
+        root = os.path.dirname(os.path.abspath(__file__))
+        conv = []
+        for fn in ("int8_convergence.json", "int8_convergence_seed1.json",
+                   "int8_convergence_seed2.json"):
+            path = os.path.join(root, "docs", fn)
+            if os.path.exists(path):
+                with open(path) as f:
+                    d = json.load(f)
+                conv.append({"seed": d["config"].get("seed", 0),
+                             "steps": d["config"]["steps"],
+                             "final_d_eval_rect":
+                                 d["deltas_int8_minus_float"][-1][
+                                     "d_eval_rect"]})
+        if conv:
+            ev["int8_convergence"] = {"artifacts": "docs/int8_convergence*",
+                                      "final_deltas": conv}
+        bpath = os.path.join(root, "docs", "int8_budget.json")
+        if os.path.exists(bpath):
+            with open(bpath) as f:
+                bd = json.load(f)
+            ev["int8_budget"] = {"artifact": "docs/int8_budget.json",
+                                 "summary": bd["summary"]}
+        if ev:
+            record["evidence"] = ev
+    except Exception as e:  # pragma: no cover - never lose the headline
+        record["evidence"] = {"error": repr(e)}
 
     print(json.dumps(record))
 
