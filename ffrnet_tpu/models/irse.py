@@ -202,7 +202,15 @@ def apply(params, state, x, *, num_layers: int = 50, mode: str = "ir_se",
     units = unit_configs(num_layers)
     new_state: Dict[str, Any] = {}
 
-    y = ops.conv2d(x, params["input"]["conv"]["w"],
+    w_in = params["input"]["conv"]["w"]
+    if w_in.shape[2] > x.shape[-1]:
+        # channel-padded stem (models/optimize.py pad_stem_input_channels):
+        # the weight tree carries zero-padded input channels; pad x to
+        # match. Identical math (zero channels contribute exactly 0);
+        # measured 3x on the isolated stem conv — the C=3 layout starves
+        # the MXU (BASELINE.md round-4 "Stem channel-pad duel").
+        x = jnp.pad(x, ((0, 0),) * 3 + ((0, w_in.shape[2] - x.shape[-1]),))
+    y = ops.conv2d(x, w_in,
                    params["input"]["conv"].get("b"), stride=1, padding=1)
     y, bn_s = _bn(params["input"]["bn"], state["input"]["bn"], y, training)
     y = ops.prelu(y, params["input"]["prelu"]["slope"], axis=-1)

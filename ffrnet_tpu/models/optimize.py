@@ -87,3 +87,26 @@ def fold_backbone_bn(params, state) -> Tuple[Any, Any]:
     params = jax.tree.map(jnp.asarray, params)
     state = jax.tree.map(jnp.asarray, state)
     return params, state
+
+
+def pad_stem_input_channels(params, to: int = 8):
+    """Zero-pad the stem conv's input-channel axis 3 -> `to` (default 8).
+
+    The IR-SE stem conv (pretrain/model_ir_se50.py:86, a 3x3 s1 conv on
+    3-channel input) starves the MXU: XLA's C=3 convolution runs at ~2.7
+    TFLOP/s bf16 vs 76-174 for the C>=64 stages (bench_stages roofline).
+    Padding both operands' input-channel axis with zeros is bit-identical
+    math (zero channels contribute exactly 0 to the contraction) and lets
+    XLA pick the packed-layout path; irse.apply detects the padded weight
+    shape and pads x to match, so the tree is a drop-in. Measured:
+    BASELINE.md round-4 "Stem channel-pad duel".
+
+    Works on raw or BN-folded trees; idempotent for widths <= `to`.
+    """
+    params = copy.deepcopy(jax.device_get(params))
+    w = params["input"]["conv"]["w"]  # (3, 3, C_in, 64) HWIO
+    cin = w.shape[2]
+    if cin < to:
+        w = jnp.pad(jnp.asarray(w), ((0, 0), (0, 0), (0, to - cin), (0, 0)))
+        params["input"]["conv"]["w"] = w
+    return jax.tree.map(jnp.asarray, params)

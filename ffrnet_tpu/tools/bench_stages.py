@@ -62,6 +62,13 @@ def main(argv=None):
                    help="add int8-static encoder/RecNet rows (scale cache "
                         "hit path) and print the int8 serving-pipeline "
                         "stage-share table (VERDICT r3 next #5)")
+    p.add_argument("--stem_duel", type=int, default=0,
+                   help="A/B the roofline's one low-utilization stage "
+                        "(stem conv, 2.7 TFLOP/s bf16 — the C=3 input "
+                        "starves the MXU): production lax.conv vs an "
+                        "im2col matmul (27-wide contraction) vs a "
+                        "channel-padded (3->8, zero weights) conv; "
+                        "exactness-checked against production")
     args = p.parse_args(argv)
 
     import jax
@@ -166,6 +173,50 @@ def main(argv=None):
     if args.iters <= 4:  # gather warp is slow; only on short runs
         record("warp_gather", time_op(
             lambda r: warp_affine(r, mats, out_hw=(112, 112)), raw, 2))
+
+    if args.stem_duel:
+        import jax.lax as lax
+
+        w = params["input"]["conv"]["w"]  # (3, 3, 3, 64) HWIO
+        bconv = params["input"]["conv"].get("b")
+
+        def stem_prod(x):
+            return ops.conv2d(x, w, bconv, stride=1, padding=1)
+
+        # im2col: one (N*H*W, 27) x (27, 64) matmul — a contraction wide
+        # enough to feed the MXU, if XLA fuses the patch gather into the
+        # matmul operand feed instead of materializing 27x the input
+        w_flat = jnp.transpose(w, (2, 0, 1, 3)).reshape(27, w.shape[-1])
+
+        def stem_im2col(x):
+            pat = lax.conv_general_dilated_patches(
+                x, filter_shape=(3, 3), window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = jnp.einsum("nhwk,ko->nhwo", pat, w_flat,
+                           preferred_element_type=jnp.float32)
+            y = y.astype(x.dtype)
+            return y if bconv is None else y + bconv
+
+        # channel-pad: zero-pad C 3->8 in both operands (identical math;
+        # probes whether XLA's C=3 handling is the inefficiency)
+        w_pad = jnp.pad(w, ((0, 0), (0, 0), (0, 5), (0, 0)))
+
+        def stem_padc(x):
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 5)))
+            return ops.conv2d(xp, w_pad, bconv, stride=1, padding=1)
+
+        ref = np.asarray(jax.jit(stem_prod)(x), np.float32)
+        duel = {}
+        for name, fn in (("prod", stem_prod), ("im2col", stem_im2col),
+                         ("padc", stem_padc)):
+            got = np.asarray(jax.jit(fn)(x), np.float32)
+            err = float(np.max(np.abs(got - ref)))
+            ms = time_op(fn, x, args.iters)
+            duel[name] = {"ms": round(ms, 3), "max_abs_err": err}
+            print(f"[stem_duel] {name}: {duel[name]}", file=sys.stderr,
+                  flush=True)
+        results["stem_duel"] = duel
 
     if args.int8:
         from ffrnet_tpu.models.quantize import (quantize_encoder_params,
