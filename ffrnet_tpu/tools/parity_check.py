@@ -89,8 +89,46 @@ def compare_with_torch(encoder_path, recnet_path, n: int = 4, seed: int = 0):
     return report
 
 
-def run_lfw(encoder_path, recnet_path, lfw_root, pairs, batch_size=64):
+def quantize_for_deployment(enc_p, enc_s, rec_p, rec_s, cal_images,
+                            dtype_name="bf16"):
+    """Build the int8-static deployment trees from imported float weights:
+    BN-fold, cast to the compute dtype, per-out-channel int8 weights,
+    calibrated static activation scales (the same pipeline
+    `FFRNet.prepare(quantize_int8='all').calibrate_int8` runs).
+
+    cal_images: (K, 112, 112, 3) normalized [-1, 1] float array."""
     import jax
+    import jax.numpy as jnp
+
+    from ffrnet_tpu.models.optimize import fold_backbone_bn
+    from ffrnet_tpu.models.quantize import (
+        calibrate_activation_scales, calibrate_recnet_activation_scales,
+        quantize_encoder_params, quantize_recnet_params)
+    from ffrnet_tpu.ops.nn import tree_cast_floats
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    fp, fs = fold_backbone_bn(enc_p, enc_s)
+    fp, fs = tree_cast_floats((fp, fs), dtype)
+    qrp, qrs = tree_cast_floats((rec_p, rec_s), dtype)
+    xcal = jnp.asarray(np.asarray(cal_images), dtype)
+    fms = []
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        q_enc = calibrate_activation_scales(
+            jax.device_get(quantize_encoder_params(fp)),
+            jax.device_get(fs), [xcal], capture_featmaps=fms)
+        q_rec = calibrate_recnet_activation_scales(
+            jax.device_get(quantize_recnet_params(qrp)),
+            jax.device_get(qrs),
+            [jnp.asarray(f, dtype) for f in fms])
+    put = lambda t: jax.device_put(jax.tree.map(jnp.asarray, t))  # noqa: E731
+    return put(q_enc), put(fs), put(q_rec), put(qrs), dtype
+
+
+def run_lfw(encoder_path, recnet_path, lfw_root, pairs, batch_size=64,
+            int8=False, cal_images=8):
+    import jax
+    import jax.numpy as jnp
 
     from ffrnet_tpu.checkpoint.pth_io import load_pth
     from ffrnet_tpu.checkpoint.torch_convert import (
@@ -109,6 +147,7 @@ def run_lfw(encoder_path, recnet_path, lfw_root, pairs, batch_size=64):
     else:
         rec_p, rec_s = recnet_mod.init(jax.random.PRNGKey(0))
 
+    q_trees = None
     out = {}
     for ocl in (0, 1, 2):
         ds = LfwPairs(lfw_root, pairs, test_ocl_num=ocl, flip_prob=0.0)
@@ -117,6 +156,33 @@ def run_lfw(encoder_path, recnet_path, lfw_root, pairs, batch_size=64):
                                           loader.epoch(0))
         out[f"ocl{ocl}"] = {"acc_new": float(res_new.mean_accuracy),
                             "acc": float(res_raw.mean_accuracy)}
+        if int8:
+            # int8-static deployment arm on the SAME pairs: its accuracy
+            # gate is the budget table (docs/int8_budget.json — measured
+            # worst |delta| at protocol granularity on trained weights);
+            # the acceptance bound stays BASELINE.json's 0.1%.
+            if q_trees is None:
+                cal = [ds.get(i, np.random.default_rng(0))["img1"]
+                       for i in range(min(cal_images, len(ds)))]
+                q_trees = quantize_for_deployment(
+                    enc_p, enc_s, rec_p, rec_s, np.stack(cal))
+            q_enc, q_es, q_rec, q_rs, dtype = q_trees
+
+            def cast_batches():
+                for b in loader.epoch(0):
+                    yield {k: (jnp.asarray(v).astype(dtype)
+                               if k in ("img1", "img2", "imgs") else v)
+                           for k, v in b.items()}
+
+            rq_new, rq_raw = evaluate_pairs(q_enc, q_es, q_rec, q_rs,
+                                            cast_batches())
+            cell = out[f"ocl{ocl}"]
+            cell["acc_new_int8"] = float(rq_new.mean_accuracy)
+            cell["acc_int8"] = float(rq_raw.mean_accuracy)
+            cell["d_int8"] = [round(cell["acc_new_int8"] - cell["acc_new"], 4),
+                              round(cell["acc_int8"] - cell["acc"], 4)]
+            cell["int8_within_0.1pct"] = bool(
+                max(abs(d) for d in cell["d_int8"]) <= 0.001)
     return out
 
 
@@ -126,12 +192,17 @@ def main(argv=None):
     p.add_argument("--recnet", default="")
     p.add_argument("--lfw_root", default="")
     p.add_argument("--pairs", default="")
+    p.add_argument("--int8", type=int, default=0,
+                   help="also gate the int8-static deployment trees: same "
+                        "ocl 0/1/2 protocol, per-ocl deltas vs float, "
+                        "0.1%% acceptance flag (budget allocation: "
+                        "docs/int8_budget.json)")
     args = p.parse_args(argv)
 
     report = compare_with_torch(args.encoder, args.recnet)
     if args.lfw_root and args.pairs:
         report["lfw"] = run_lfw(args.encoder, args.recnet, args.lfw_root,
-                                args.pairs)
+                                args.pairs, int8=bool(args.int8))
     print(json.dumps(report, indent=2))
 
 

@@ -162,3 +162,58 @@ def test_parity_check_tool_on_synthesized_weights(reference, tmp_path):
     assert report["featmap_max_diff"] < 5e-4, report
     assert report["embed_max_diff"] < 5e-5, report
     assert report["rectified_max_diff"] < 5e-4, report
+
+
+@pytest.mark.slow
+def test_parity_check_int8_gate_rehearsal(reference, tmp_path):
+    """The int8 arm of the standing gate (parity_check run_lfw --int8):
+    synthesized released-format weights + a tiny LFW tree -> per-ocl
+    float accuracies, int8 accuracies, deltas, and the 0.1% flag. The
+    budget allocation behind the flag is docs/int8_budget.json."""
+    from PIL import Image
+
+    from ffrnet_tpu.data.datasets import _listdir_cached
+
+    _listdir_cached.cache_clear()
+    t = reference.torch
+    t.manual_seed(11)
+    enc = reference.irse.Backbone(50, 0.6, "ir_se").eval()
+    enc_path = tmp_path / "se50.pth"
+    t.save(enc.state_dict(), str(enc_path))
+    rec = reference.recnet.RecNet().eval()
+    rec_path = tmp_path / "FFRNet.pth"
+    t.save({"RecNet": rec.state_dict()}, str(rec_path))
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "lfw"
+    for pid in range(4):
+        d = root / f"P_{pid}"
+        d.mkdir(parents=True)
+        base = rng.integers(0, 255, (112, 112, 3), dtype=np.uint8)
+        for i in (1, 2):
+            img = np.clip(base + rng.integers(-8, 8, base.shape), 0, 255)
+            Image.fromarray(img.astype(np.uint8)).save(
+                d / f"P_{pid}_{i:04}.jpg")
+            m = img.copy()
+            m[60:] = 0
+            Image.fromarray(m.astype(np.uint8)).save(
+                d / f"P_{pid}_{i:04}_mask.jpg")
+    lines = ["20\n"]
+    for k in range(10):
+        lines.append(f"P_{k % 4}\t1\t2\n")
+        lines.append(f"P_{k % 4}\t1\tP_{(k + 1) % 4}\t2\n")
+    (root / "pairs.txt").write_text("".join(lines))
+
+    from ffrnet_tpu.tools.parity_check import run_lfw
+
+    out = run_lfw(str(enc_path), str(rec_path), str(root),
+                  str(root / "pairs.txt"), batch_size=10, int8=True,
+                  cal_images=4)
+    for ocl in (0, 1, 2):
+        cell = out[f"ocl{ocl}"]
+        assert 0.0 <= cell["acc_new"] <= 1.0
+        assert 0.0 <= cell["acc_new_int8"] <= 1.0
+        assert cell["d_int8"] == [
+            round(cell["acc_new_int8"] - cell["acc_new"], 4),
+            round(cell["acc_int8"] - cell["acc"], 4)]
+        assert isinstance(cell["int8_within_0.1pct"], bool)
