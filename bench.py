@@ -536,16 +536,43 @@ def main():
     # a one-shot slope caught inside one would poison the artifact of
     # record. min (not median) is correct for a lower-bound latency
     # measure: stalls only ever ADD time.
-    def slope_fps(fn=None, rounds=3):
-        sl = []
-        for _ in range(rounds):
+    def slope_fps(fn=None, rounds=3, max_retries=3):
+        """min over positive, plausible per-round slopes.
+
+        A relay stall inside the SHORT (2-iter) run makes t_long - t_short
+        non-positive or implausibly small — that round is corrupted and must
+        be DISCARDED and re-run, never clamped (a clamped 1e-9 would win the
+        min and inflate the headline arbitrarily; ADVICE r4). Stalls inside
+        the long run only ADD time, so min over the surviving rounds stays a
+        valid lower-bound estimator.
+        """
+        sl, retries = [], 0
+        while len(sl) < rounds and retries <= max_retries:
             t_short = run_chain(2, fn=fn)
             t_long = run_chain(2 + ITERS, fn=fn)
-            sl.append(max(t_long - t_short, 1e-9))
-        return BATCH * ITERS / min(sl), sl
+            s = t_long - t_short
+            if s <= 0:
+                retries += 1
+                print(f"[bench] slope round discarded (t_long {t_long:.3f} "
+                      f"<= t_short {t_short:.3f}, relay stall in short run)",
+                      file=sys.stderr, flush=True)
+                continue
+            sl.append(s)
+        if not sl:  # every round corrupted: report, don't fabricate
+            raise RuntimeError(
+                "slope_fps: no positive slope in %d attempts (relay stalls "
+                "inside every short run)" % (rounds + max_retries))
+        # plausibility floor: a positive-but-tiny slope (stall mostly inside
+        # the short run) must not win the min — discard rounds under 25% of
+        # the median when there is a median to compare against
+        if len(sl) >= 2:
+            med = sorted(sl)[len(sl) // 2]
+            kept = [s for s in sl if s >= 0.25 * med]
+        else:
+            kept = sl
+        return BATCH * ITERS / min(kept), sl
 
     faces_per_sec, slopes = slope_fps()
-    dt = min(slopes)
 
     baseline = _load_or_measure_baseline()
     vs = faces_per_sec / baseline if baseline else 0.0
@@ -690,7 +717,89 @@ def main():
     except Exception as e:  # pragma: no cover - never lose the headline
         record["evidence"] = {"error": repr(e)}
 
-    print(json.dumps(record))
+    print(emit_record(record))
+
+
+def _finite(obj):
+    """Replace non-finite floats: json.dumps would emit bare NaN/Infinity,
+    which is INVALID strict JSON and unparseable by the driver."""
+    if isinstance(obj, float):
+        return obj if np.isfinite(obj) else str(obj)
+    if isinstance(obj, dict):
+        return {k: _finite(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_finite(v) for v in obj]
+    return obj
+
+
+# stdout-line budget: the driver parses the headline JSON from a 2000-char
+# output tail — BENCH_r04's line grew past that and the artifact of record
+# lost its parsed headline entirely (parsed: null). The full record goes to
+# docs/bench_details_last.json; the stdout line carries a compact summary
+# and MUST stay under the budget.
+LINE_BUDGET = int(os.environ.get("FFRNET_BENCH_LINE_BUDGET", "1700"))
+
+
+def emit_record(record, line_budget=None, details_path=None):
+    """Write the full record to docs/bench_details_last.json and return the
+    compact one-line JSON summary for stdout (always <= line_budget)."""
+    line_budget = line_budget or LINE_BUDGET
+    record = _finite(record)
+    root = os.path.dirname(os.path.abspath(__file__))
+    details_rel = os.path.join("docs", "bench_details_last.json")
+    try:
+        with open(details_path or os.path.join(root, details_rel), "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError as e:  # pragma: no cover
+        print(f"[bench] details write failed: {e!r}", file=sys.stderr)
+
+    def sub(d, keys):
+        return {k: d[k] for k in keys if k in d}
+
+    compact = sub(record, ("metric", "value", "unit", "vs_baseline",
+                           "slope_rounds_s"))
+    compact["details"] = details_rel
+    if "pallas" in record:
+        pal = record["pallas"]
+        compact["pallas"] = {
+            k: v for k, v in pal.items()
+            if k == "verdict" or k.endswith("_ms")}
+        if "first_attempt" in pal:  # retry path: keep both verdicts
+            compact["pallas"]["first_verdict"] = (
+                pal["first_attempt"].get("verdict"))
+    if "int8" in record:
+        compact["int8"] = sub(record["int8"], (
+            "batch", "static_scales_cache", "cos_min_static",
+            "cos_min_dynamic", "encoder_ms_bf16", "encoder_ms_dynamic",
+            "encoder_ms_static", "speedup_dynamic", "speedup_static",
+            "pipeline_arm", "error", "static_error"))
+    if "int8_pipeline" in record:
+        compact["int8_pipeline"] = sub(record["int8_pipeline"], (
+            "arm", "faces_per_sec_int8", "faces_per_sec_bf16_recheck",
+            "speedup_vs_recheck"))
+    if "int8_recnet_pipeline" in record:
+        compact["int8_recnet_pipeline"] = sub(
+            record["int8_recnet_pipeline"],
+            ("faces_per_sec_int8_recnet", "speedup_vs_int8_enc"))
+    if "lfw_eval" in record:
+        compact["lfw_eval"] = sub(record["lfw_eval"], (
+            "pass_seconds", "pairs", "pairs_per_sec", "pass_seconds_int8",
+            "speedup_int8", "acc_delta_int8", "error"))
+    if "evidence" in record:
+        compact["evidence"] = "docs/int8_convergence*.json docs/int8_budget.json"
+
+    # hard guard: drop optional sections (least critical first) until the
+    # line fits; the required metric contract is never dropped
+    drop_order = ("evidence", "int8_recnet_pipeline", "slope_rounds_s",
+                  "int8", "lfw_eval", "pallas", "int8_pipeline")
+    line = json.dumps(compact)
+    for key in drop_order:
+        if len(line) <= line_budget:
+            break
+        if key in compact:
+            compact[key] = "see details"
+            line = json.dumps(compact)
+    return line
 
 
 if __name__ == "__main__":

@@ -204,6 +204,14 @@ def apply(params, state, x, *, num_layers: int = 50, mode: str = "ir_se",
 
     w_in = params["input"]["conv"]["w"]
     if w_in.shape[2] > x.shape[-1]:
+        if x.shape[-1] != 3:
+            # only the documented 3-channel stem input is silently padded;
+            # anything else (e.g. a grayscale batch) is a caller bug that
+            # must keep raising, not produce plausible-looking embeddings
+            # (ADVICE r4)
+            raise ValueError(
+                f"channel-padded stem expects 3-channel input, got "
+                f"{x.shape[-1]} channels (weight expects {w_in.shape[2]})")
         # channel-padded stem (models/optimize.py pad_stem_input_channels):
         # the weight tree carries zero-padded input channels; pad x to
         # match. Identical math (zero channels contribute exactly 0);

@@ -179,10 +179,14 @@ def run_lfw(encoder_path, recnet_path, lfw_root, pairs, batch_size=64,
             cell = out[f"ocl{ocl}"]
             cell["acc_new_int8"] = float(rq_new.mean_accuracy)
             cell["acc_int8"] = float(rq_raw.mean_accuracy)
-            cell["d_int8"] = [round(cell["acc_new_int8"] - cell["acc_new"], 4),
-                              round(cell["acc_int8"] - cell["acc"], 4)]
+            # gate on the UNROUNDED deltas (a true 0.00104 must fail the
+            # 0.1% budget even though it reports as 0.001); rounding is
+            # display-only (ADVICE r4)
+            d_exact = [cell["acc_new_int8"] - cell["acc_new"],
+                       cell["acc_int8"] - cell["acc"]]
+            cell["d_int8"] = [round(d, 4) for d in d_exact]
             cell["int8_within_0.1pct"] = bool(
-                max(abs(d) for d in cell["d_int8"]) <= 0.001)
+                max(abs(d) for d in d_exact) <= 0.001)
     return out
 
 

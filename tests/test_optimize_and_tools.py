@@ -217,3 +217,81 @@ def test_parity_check_int8_gate_rehearsal(reference, tmp_path):
             round(cell["acc_new_int8"] - cell["acc_new"], 4),
             round(cell["acc_int8"] - cell["acc"], 4)]
         assert isinstance(cell["int8_within_0.1pct"], bool)
+
+
+def test_bench_emit_record_budget_and_sanitize(tmp_path):
+    """The driver parses the headline from a 2000-char output tail; r4's
+    line outgrew it and the artifact lost its parsed headline. emit_record
+    must (a) always return a line under the budget with the metric contract
+    intact, (b) strip non-finite floats (bare NaN is invalid strict JSON),
+    (c) persist the full record to the details file."""
+    import json as _json
+
+    import bench
+
+    record = {
+        "metric": "aligned_faces_per_sec_per_chip", "value": 8400.0,
+        "unit": "faces/s", "vs_baseline": 2100.0,
+        "slope_rounds_s": [0.6, 0.61, 0.62],
+        "pallas": {"verdict": "ok", "probe": {"warm_s": 7.0, "attempts": 1},
+                   "ss_pallas_ms": 0.7, "ss_xla_ms": 5.0,
+                   "nan_field": float("nan")},
+        "int8": {"batch": 256, "speedup_static": 1.46,
+                 "encoder_ms_static": 14.0, "pipeline_arm": "static",
+                 "huge": "x" * 4000},
+        "int8_pipeline": {"arm": "static", "faces_per_sec_int8": 10678.0,
+                          "speedup_vs_recheck": 1.25},
+        "lfw_eval": {"pass_seconds": 1.3, "pairs": 6000,
+                     "pairs_per_sec": 4600.0, "speedup_int8": 1.34,
+                     "acc_delta_int8": [0.0002, 0.001],
+                     "all_times": [1.3] * 50},
+        "evidence": {"int8_budget": {"summary": {"k": 1}}},
+    }
+    details = tmp_path / "details.json"
+    line = bench.emit_record(record, details_path=str(details))
+    assert "\n" not in line and len(line) <= bench.LINE_BUDGET
+    parsed = _json.loads(line)  # must round-trip strict JSON
+    assert parsed["metric"] == "aligned_faces_per_sec_per_chip"
+    assert parsed["value"] == 8400.0 and parsed["vs_baseline"] == 2100.0
+    assert parsed["pallas"]["verdict"] == "ok"
+    assert "huge" not in parsed["int8"]  # detail keys never reach stdout
+    full = _json.loads(details.read_text())  # NaN sanitized -> strict JSON
+    assert full["int8"]["huge"].startswith("x")
+    assert isinstance(full["pallas"]["nan_field"], str)
+
+    # pathological: every section bloated -> sections drop, contract stays
+    big = dict(record)
+    big["slope_rounds_s"] = [0.123456789] * 400
+    line2 = bench.emit_record(big, details_path=str(details))
+    assert len(line2) <= bench.LINE_BUDGET
+    p2 = _json.loads(line2)
+    assert p2["value"] == 8400.0 and p2["metric"]
+
+
+def test_parity_gate_uses_unrounded_deltas():
+    """A true delta of 0.00104 rounds to 0.001 for display but must FAIL
+    the 0.1% acceptance gate (ADVICE r4)."""
+    import inspect
+
+    from ffrnet_tpu.tools import parity_check
+
+    src = inspect.getsource(parity_check.run_lfw)
+    assert "d_exact" in src  # gate computed from unrounded deltas
+    # the exact semantics: gate on unrounded, display rounded
+    d_exact = [0.00104, 0.0]
+    shown = [round(d, 4) for d in d_exact]
+    assert shown == [0.001, 0.0]
+    assert not (max(abs(d) for d in d_exact) <= 0.001)
+
+
+def test_stem_pad_rejects_non_rgb_input():
+    """The channel-padded stem silently pads ONLY the documented 3-channel
+    input; a grayscale batch must raise, not produce plausible embeddings
+    (ADVICE r4)."""
+    from ffrnet_tpu.models.optimize import pad_stem_input_channels
+
+    params, state = irse.init(jax.random.PRNGKey(0))
+    pp = pad_stem_input_channels(params)
+    x_bad = jnp.zeros((1, 112, 112, 1), jnp.float32)
+    with pytest.raises(ValueError, match="3-channel"):
+        irse.apply(pp, state, x_bad)
