@@ -537,40 +537,21 @@ def main():
     # record. min (not median) is correct for a lower-bound latency
     # measure: stalls only ever ADD time.
     def slope_fps(fn=None, rounds=3, max_retries=3):
-        """min over positive, plausible per-round slopes.
+        """Stall-proof min-of-rounds slope -> faces/s (see
+        tools/timing.py robust_min_slope for the discard semantics;
+        corrupted rounds are discarded and re-run, never clamped —
+        ADVICE r4)."""
+        from ffrnet_tpu.tools.timing import robust_min_slope
 
-        A relay stall inside the SHORT (2-iter) run makes t_long - t_short
-        non-positive or implausibly small — that round is corrupted and must
-        be DISCARDED and re-run, never clamped (a clamped 1e-9 would win the
-        min and inflate the headline arbitrarily; ADVICE r4). Stalls inside
-        the long run only ADD time, so min over the surviving rounds stays a
-        valid lower-bound estimator.
-        """
-        sl, retries = [], 0
-        while len(sl) < rounds and retries <= max_retries:
-            t_short = run_chain(2, fn=fn)
-            t_long = run_chain(2 + ITERS, fn=fn)
-            s = t_long - t_short
-            if s <= 0:
-                retries += 1
-                print(f"[bench] slope round discarded (t_long {t_long:.3f} "
-                      f"<= t_short {t_short:.3f}, relay stall in short run)",
-                      file=sys.stderr, flush=True)
-                continue
-            sl.append(s)
-        if not sl:  # every round corrupted: report, don't fabricate
-            raise RuntimeError(
-                "slope_fps: no positive slope in %d attempts (relay stalls "
-                "inside every short run)" % (rounds + max_retries))
-        # plausibility floor: a positive-but-tiny slope (stall mostly inside
-        # the short run) must not win the min — discard rounds under 25% of
-        # the median when there is a median to compare against
-        if len(sl) >= 2:
-            med = sorted(sl)[len(sl) // 2]
-            kept = [s for s in sl if s >= 0.25 * med]
-        else:
-            kept = sl
-        return BATCH * ITERS / min(kept), sl
+        def note(t_short, t_long):
+            print(f"[bench] slope round discarded (t_long {t_long:.3f} "
+                  f"<= t_short {t_short:.3f}, relay stall in short run)",
+                  file=sys.stderr, flush=True)
+
+        m, sl = robust_min_slope(lambda n: run_chain(n, fn=fn), ITERS,
+                                 rounds=rounds, max_retries=max_retries,
+                                 on_discard=note)
+        return BATCH * ITERS / m, sl
 
     faces_per_sec, slopes = slope_fps()
 
