@@ -553,7 +553,20 @@ def main():
                                  on_discard=note)
         return BATCH * ITERS / m, sl
 
-    faces_per_sec, slopes = slope_fps()
+    try:
+        faces_per_sec, slopes = slope_fps()
+    except RuntimeError as e:
+        # every round corrupted = the relay is effectively dead. Any number
+        # would be fiction, but the artifact must still parse: emit an
+        # explicit zero-value error record rather than crashing with no
+        # stdout line at all (the r3 probe lesson: a lost artifact is worse
+        # than an honestly-failed one).
+        print(emit_record({
+            "metric": "aligned_faces_per_sec_per_chip", "value": 0.0,
+            "unit": "faces/s", "vs_baseline": 0.0,
+            "error": f"headline unmeasurable: {e}",
+            "pallas": pallas_section or {"verdict": "not-probed"}}))
+        return
 
     baseline = _load_or_measure_baseline()
     vs = faces_per_sec / baseline if baseline else 0.0
@@ -738,7 +751,7 @@ def emit_record(record, line_budget=None, details_path=None):
         return {k: d[k] for k in keys if k in d}
 
     compact = sub(record, ("metric", "value", "unit", "vs_baseline",
-                           "slope_rounds_s"))
+                           "slope_rounds_s", "error"))
     compact["details"] = details_rel
     if "pallas" in record:
         pal = record["pallas"]

@@ -295,3 +295,22 @@ def test_stem_pad_rejects_non_rgb_input():
     x_bad = jnp.zeros((1, 112, 112, 1), jnp.float32)
     with pytest.raises(ValueError, match="3-channel"):
         irse.apply(pp, state, x_bad)
+
+
+def test_bench_degraded_headline_record_parses(tmp_path):
+    """When every slope round is corrupted (relay dead), bench emits an
+    explicit zero-value error record instead of crashing with no stdout
+    line — the artifact must parse even on a failed run."""
+    import json as _json
+
+    import bench
+
+    line = bench.emit_record(
+        {"metric": "aligned_faces_per_sec_per_chip", "value": 0.0,
+         "unit": "faces/s", "vs_baseline": 0.0,
+         "error": "headline unmeasurable: no positive slope in 6 attempts",
+         "pallas": {"verdict": "not-probed"}},
+        details_path=str(tmp_path / "d.json"))
+    p = _json.loads(line)
+    assert p["value"] == 0.0 and "unmeasurable" in p["error"]
+    assert p["pallas"]["verdict"] == "not-probed"
