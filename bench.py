@@ -530,17 +530,16 @@ def main():
         _mark("model_fn compiled+ran", t0)
     run_chain(WARMUP)  # warm
     _mark("warmup done", t0)
-    # slope removes the constant RTT + dispatch overhead; min over 3
-    # rounds makes the headline stall-proof — this relay shows
-    # multi-minute dead phases (r4 session: a 28-min stall mid-run), and
-    # a one-shot slope caught inside one would poison the artifact of
-    # record. min (not median) is correct for a lower-bound latency
-    # measure: stalls only ever ADD time.
+    # slope removes the constant RTT + dispatch overhead; the CROSS-round
+    # estimate min(t_long) - min(t_short) makes the headline stall-proof
+    # in both directions — this relay shows multi-minute dead phases (r4
+    # session: a 28-min stall mid-run), and a stall caught inside either
+    # chain of a one-shot slope would poison the artifact of record.
     def slope_fps(fn=None, rounds=3, max_retries=3):
-        """Stall-proof min-of-rounds slope -> faces/s (see
-        tools/timing.py robust_min_slope for the discard semantics;
-        corrupted rounds are discarded and re-run, never clamped —
-        ADVICE r4)."""
+        """Stall-proof cross-round slope -> faces/s (see tools/timing.py
+        robust_min_slope: stalls only ever ADD time, so each cross-round
+        min approaches the stall-free chain time; swallowed rounds are
+        discarded and re-run, never clamped — ADVICE r4)."""
         from ffrnet_tpu.tools.timing import robust_min_slope
 
         def note(t_short, t_long):
@@ -780,7 +779,20 @@ def emit_record(record, line_budget=None, details_path=None):
             "pass_seconds", "pairs", "pairs_per_sec", "pass_seconds_int8",
             "speedup_int8", "acc_delta_int8", "error"))
     if "evidence" in record:
-        compact["evidence"] = "docs/int8_convergence*.json docs/int8_budget.json"
+        # summarize what was ACTUALLY collected: the artifact pointers of
+        # the sections present, or the collection error — never a
+        # hardcoded claim that both artifact families exist
+        ev = record["evidence"]
+        if isinstance(ev, dict) and "error" in ev:
+            compact["evidence"] = {"error": str(ev["error"])[:200]}
+        elif isinstance(ev, dict):
+            arts = [str(v.get("artifact") or v.get("artifacts"))
+                    for v in ev.values()
+                    if isinstance(v, dict)
+                    and (v.get("artifact") or v.get("artifacts"))]
+            compact["evidence"] = " ".join(arts) or "see details"
+        else:
+            compact["evidence"] = "see details"
 
     # hard guard: drop optional sections (least critical first) until the
     # line fits; the required metric contract is never dropped

@@ -179,15 +179,21 @@ def run_lfw(encoder_path, recnet_path, lfw_root, pairs, batch_size=64,
             cell = out[f"ocl{ocl}"]
             cell["acc_new_int8"] = float(rq_new.mean_accuracy)
             cell["acc_int8"] = float(rq_raw.mean_accuracy)
-            # gate on the UNROUNDED deltas (a true 0.00104 must fail the
-            # 0.1% budget even though it reports as 0.001); rounding is
-            # display-only (ADVICE r4)
-            d_exact = [cell["acc_new_int8"] - cell["acc_new"],
-                       cell["acc_int8"] - cell["acc"]]
-            cell["d_int8"] = [round(d, 4) for d in d_exact]
-            cell["int8_within_0.1pct"] = bool(
-                max(abs(d) for d in d_exact) <= 0.001)
+            cell["d_int8"], cell["int8_within_0.1pct"] = int8_gate(
+                cell["acc_new"], cell["acc"],
+                cell["acc_new_int8"], cell["acc_int8"])
     return out
+
+
+def int8_gate(acc_new, acc, acc_new_int8, acc_int8, budget=0.001):
+    """-> (display_deltas, within_budget) for the int8 acceptance gate.
+
+    The flag is computed from the UNROUNDED deltas: a true delta of
+    0.00104 must FAIL the 0.1% budget even though it displays as 0.001
+    (ADVICE r4). Rounding is display-only."""
+    d_exact = [acc_new_int8 - acc_new, acc_int8 - acc]
+    return ([round(d, 4) for d in d_exact],
+            bool(max(abs(d) for d in d_exact) <= budget))
 
 
 def main(argv=None):

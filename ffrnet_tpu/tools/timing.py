@@ -54,45 +54,58 @@ def time_op(fn: Callable, x0, iters: int = 8, warmup: int = 2) -> float:
 
 def robust_min_slope(run: Callable[[int], float], iters: int,
                      rounds: int = 3, max_retries: int = 3,
-                     short: int = 2, floor_frac: float = 0.25,
+                     short: int = 2,
                      on_discard: Callable[[float, float], None] = None):
-    """Stall-proof min-of-rounds slope: the headline estimator (bench.py).
+    """Stall-proof slope: the headline estimator (bench.py).
 
     Each round times a short (`short`-iter) and a long (`short + iters`)
-    chain; the difference is `iters` iterations of pure device time with
-    the constant RTT/dispatch overhead cancelled. Relay stalls inside the
-    LONG chain only ADD time, so min over rounds is a valid lower-bound
-    estimator — but a stall inside the SHORT chain corrupts the round the
-    other way (slope non-positive or implausibly small), and such a round
-    must be DISCARDED and re-run, never clamped: a clamped near-zero slope
-    would win the min and inflate the result arbitrarily (ADVICE r4).
+    chain; their difference is `iters` iterations of pure device time
+    with the constant RTT/dispatch overhead cancelled. On this relay,
+    stalls only ever ADD time — to whichever chain they land in. A stall
+    in a LONG chain inflates that round's difference; a stall in a SHORT
+    chain deflates it (toward an arbitrarily inflated faces/s), and the
+    two cannot be told apart from the per-round differences alone (a
+    majority of deflated rounds drags any median/quantile floor down
+    with it).
 
-    Returns (min_slope_seconds, all_kept_round_slopes). Discards:
-      - non-positive slopes (re-run, up to `max_retries` extra attempts;
-        `on_discard(t_short, t_long)` is called for each),
-      - positive slopes under `floor_frac` x the round median (a stall
-        that landed MOSTLY inside the short chain).
-    Raises RuntimeError when every attempt was corrupted — the caller
+    So the estimate is CROSS-round: min(t_long over rounds) -
+    min(t_short over rounds). Each min approaches the stall-free value
+    from above, so one corrupted round — in either chain, any number of
+    rounds minority or majority — cannot move the estimate; corrupting
+    it requires EVERY round's short chain to stall simultaneously.
+    Among kept pairs t_long > t_short per round, so min(longs) >
+    min(shorts) and the estimate is always positive. Residual error is
+    bounded by the smallest per-round noise, which a min over >= 3
+    mostly-healthy rounds makes negligible.
+
+    Rounds with t_long <= t_short (a stall swallowed the whole long-vs-
+    short gap) are discarded and re-run (`on_discard(t_short, t_long)`
+    per discard), up to `rounds + max_retries` total attempts. Raises
+    RuntimeError when no attempt produced a usable pair — the caller
     must see the failure, not a fabricated number.
+
+    Returns (slope_seconds, per_round_differences). The per-round
+    differences are the relay-health record (their spread shows stall
+    activity); the returned slope is the cross-min estimate, which
+    always lies between the smallest and the largest per-round
+    difference — and sits ABOVE the smallest exactly when that round's
+    short chain was stall-deflated (the resistance this estimator adds).
     """
-    sl, retries = [], 0
-    while len(sl) < rounds and retries <= max_retries:
+    shorts, longs, per_round = [], [], []
+    attempts = 0
+    while len(per_round) < rounds and attempts < rounds + max_retries:
+        attempts += 1
         t_short = run(short)
         t_long = run(short + iters)
-        s = t_long - t_short
-        if s <= 0:
-            retries += 1
+        if t_long <= t_short:
             if on_discard is not None:
                 on_discard(t_short, t_long)
             continue
-        sl.append(s)
-    if not sl:
+        shorts.append(t_short)
+        longs.append(t_long)
+        per_round.append(t_long - t_short)
+    if not per_round:
         raise RuntimeError(
             "robust_min_slope: no positive slope in %d attempts (stalls "
-            "inside every short chain)" % (rounds + max_retries))
-    if len(sl) >= 2:
-        med = sorted(sl)[len(sl) // 2]
-        kept = [s for s in sl if s >= floor_frac * med]
-    else:
-        kept = sl
-    return min(kept), sl
+            "inside every short chain)" % attempts)
+    return min(longs) - min(shorts), per_round
