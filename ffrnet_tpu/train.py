@@ -189,6 +189,17 @@ def make_train_dataset(opts: Options):
     return CasiaPairs(opts.train_data, img_list, host_normalize=host_norm)
 
 
+def _mesh_eval_batch(n_pairs: int, batch_size: int, n_data: int):
+    """Largest eval batch <= batch_size such that EVERY loader batch —
+    including the ragged final one — is divisible by the mesh 'data'
+    axis, so eval batches can shard over 'data'. None when no such size
+    exists (then the caller replicates, the old behavior)."""
+    for b in range(min(batch_size, n_pairs), n_data - 1, -1):
+        if b % n_data == 0 and (n_pairs % b) % n_data == 0:
+            return b
+    return None
+
+
 def make_eval_batches(opts: Options, ocl_num: int, batch_size: int,
                       placement=None):
     # flip_prob=0 pins eval determinism; the reference's random eval-time
@@ -197,6 +208,20 @@ def make_eval_batches(opts: Options, ocl_num: int, batch_size: int,
                   flip_prob=0.5 if opts.faithful_eval_flip else 0.0,
                   host_normalize=bool(opts.host_normalize))
     n_pairs = len(ds)
+    if isinstance(placement, jax.sharding.Mesh):
+        # mid-train eval on a single-process mesh: shard the batches over
+        # 'data' so each device scores 1/n_data of the protocol — a
+        # replicated batch makes every device redundantly score the FULL
+        # 6000 pairs (review finding, round 5). Falls back to replicated
+        # when no batch size under the requested one divides evenly.
+        mesh = placement
+        n_data = mesh.shape["data"]
+        placement = replicated(mesh)
+        if n_data > 1:
+            b = _mesh_eval_batch(n_pairs, batch_size, n_data)
+            if b is not None:
+                batch_size = b
+                placement = batch_sharding(mesh)
     if jax.process_count() > 1:
         # contiguous per-process slice; the multiprocess runner all-gathers
         # scores back into protocol order (eval.runner)
@@ -209,9 +234,10 @@ def make_eval_batches(opts: Options, ocl_num: int, batch_size: int,
     # batch, so the whole eval still pays ONE host sync — eval/runner.py).
     # `placement` must be compatible with wherever the caller's params
     # live: mid-train params are mesh-placed, so the train loop passes its
-    # mesh's replicated sharding — a bare local device there would make
-    # jit reject the mixed device sets. None = host batches (old behavior,
-    # kept for multi-process runs where each host scores its own slice).
+    # Mesh (resolved above to data-sharded batches, or replicated when
+    # nothing divides) — a bare local device there would make jit reject
+    # the mixed device sets. None = host batches (old behavior, kept for
+    # multi-process runs where each host scores its own slice).
     loader = BatchLoader(ds, batch_size, shuffle=False, drop_last=False,
                          seed=opts.seed, num_threads=opts.n_thread,
                          process_index=0, process_count=1,
@@ -401,7 +427,7 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
         # frozen encoder ONCE, then train RecNet-only steps from the cache
         # (training/feature_cache.py). The reference re-runs the frozen
         # encoder every step (models/trainer.py:139-146).
-        import dataclasses as _dc
+        import copy as _copy
 
         from ffrnet_tpu.training.feature_cache import (
             CachedFeatureDataset, build_feature_cache)
@@ -411,8 +437,15 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
         cache_dir = opts.feature_cache_dir or os.path.join(
             opts.ckpt_dir, "feature_cache")
         flip_prob = getattr(dataset, "flip_prob", 0.0)
-        flipfree = (_dc.replace(dataset, flip_prob=0.0)
-                    if flip_prob else dataset)
+        # shallow copy, not dataclasses.replace: replace() re-runs
+        # __post_init__, re-reading and re-validating the entire img_list
+        # just to zero one field (and requires a dataclass); the copy
+        # shares the parsed items/caches, which are read-mostly
+        if flip_prob:
+            flipfree = _copy.copy(dataset)
+            flipfree.flip_prob = 0.0
+        else:
+            flipfree = dataset
         if not isinstance(dataset, CasiaPairs):
             print("[warn] --cache_features with a non-CasiaPairs dataset: "
                   "the cache freezes ANY per-epoch augmentation beyond the "
@@ -429,23 +462,33 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
             # carry the int8 quantization error into every
             # RecNet-only epoch — same opt-in trade as the in-step
             # --int8_encoder path (convergence A/B, BASELINE.md enc_arms);
-            # LFW eval keeps the float tree either way. cache_fingerprint
-            # hashes the int8 leaves, so int8-built and float-built caches
-            # never collide. Lazy: calibration costs minutes of eager
-            # host-CPU work, so only the process that actually builds
-            # (process 0, or a waiter falling back to a host-local dir)
-            # ever runs it.
-            if opts.int8_encoder:
-                return prepare_int8_encoder(
-                    enc_params, enc_state, flipfree, cfg.compute_dtype)
-            return enc_params, enc_state
+            # LFW eval keeps the float tree either way. Lazy for real
+            # (review finding, round 5): build_feature_cache invokes this
+            # factory only when a build is actually needed and only after
+            # the builder lock exists, so a complete cache never pays the
+            # minutes of eager calibration and multi-host waiters see a
+            # heartbeat throughout. The fingerprint hashes the FLOAT tree
+            # plus the variant tag below — calibration is deterministic
+            # given (tree, dataset, dtype), so int8-built and float-built
+            # caches still never collide.
+            return prepare_int8_encoder(
+                enc_params, enc_state, flipfree, cfg.compute_dtype)
+        build_kw = dict(batch_size=opts.batch_size,
+                        compute_dtype=cfg.compute_dtype,
+                        num_threads=opts.n_thread,
+                        encoder_factory=(build_encoder if opts.int8_encoder
+                                         else None),
+                        fingerprint_extra=("int8-static-v1"
+                                           if opts.int8_encoder else ""))
         if jax.process_count() > 1:
             # one builder per shared cache_dir; waiters watch the builder's
             # per-batch lock heartbeat (feature_cache.lock_age_s). If
             # neither meta nor a live lock ever appears, cache_dir is
             # host-local storage -> build locally. A blind deadline here
             # would start a concurrent build into a SHARED dir and corrupt
-            # the primary build (review finding, round 5).
+            # the primary build (review finding, round 5); the lock now
+            # pre-dates even the int8 calibration, so the grace window
+            # only has to cover process skew + the fingerprint fetch.
             import time as _time
 
             from jax.experimental import multihost_utils
@@ -453,10 +496,8 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
             from ffrnet_tpu.training.feature_cache import lock_age_s
 
             if jax.process_index() == 0:
-                build_feature_cache(flipfree, *build_encoder(),
-                                    cache_dir, batch_size=opts.batch_size,
-                                    compute_dtype=cfg.compute_dtype,
-                                    num_threads=opts.n_thread)
+                build_feature_cache(flipfree, enc_params, enc_state,
+                                    cache_dir, **build_kw)
             else:
                 meta_path = os.path.join(cache_dir, "meta.json")
                 grace = _time.time() + float(os.environ.get(
@@ -467,11 +508,8 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
                     age = lock_age_s(cache_dir)
                     if age is None and _time.time() > grace:
                         # no meta, no lock: host-local dir — build here
-                        build_feature_cache(
-                            flipfree, *build_encoder(), cache_dir,
-                            batch_size=opts.batch_size,
-                            compute_dtype=cfg.compute_dtype,
-                            num_threads=opts.n_thread)
+                        build_feature_cache(flipfree, enc_params, enc_state,
+                                            cache_dir, **build_kw)
                         break
                     if age is not None and age > stale_s:
                         raise RuntimeError(
@@ -482,10 +520,8 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
                     _time.sleep(2.0)
             multihost_utils.sync_global_devices("ffrnet_feature_cache")
         else:
-            build_feature_cache(flipfree, *build_encoder(), cache_dir,
-                                batch_size=opts.batch_size,
-                                compute_dtype=cfg.compute_dtype,
-                                num_threads=opts.n_thread)
+            build_feature_cache(flipfree, enc_params, enc_state, cache_dir,
+                                **build_kw)
         dataset = CachedFeatureDataset(cache_dir, flip_prob=flip_prob)
         if opts.int8_encoder:
             print("[info] feature cache built with the int8-static "
@@ -586,10 +622,16 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
         queued, pending[:] = list(pending), []
         for (it, ep, _), m in zip(queued, fetched):
             logger.set_current_iter(it, ep)
-            values = {k: f"{float(v):.4f}" for k, v in m.items()
-                      if k != "LR"}
+            # RAW floats go to the scalar sinks (tensorboard/JSON) — a
+            # 4-decimal pre-format would flatten late-training losses
+            # below 5e-5 to exactly 0.0 in the recorded curves (review
+            # finding, round 5); formatting is print-only. LR is recorded
+            # as a scalar too, not just printed.
+            values = {k: float(v) for k, v in m.items()}
             logger.record_scalar(values, "train_values")
-            logger.print_scalar({"LR": f"{float(m['LR']):.6f}"})
+            logger.print_scalar({k: f"{v:.4f}" for k, v in values.items()
+                                 if k != "LR"})
+            logger.print_scalar({"LR": f"{values['LR']:.6f}"})
             if not np.isfinite(float(m["TotalLoss"])):
                 logger.close()
                 raise FloatingPointError(
@@ -648,10 +690,11 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
                 rec = (state.params, state.model_state)
                 enc = eval_enc or (enc_params, enc_state)
                 # mid-train params are mesh-placed: eval batches must join
-                # them on the SAME device set (replicated over the mesh) or
-                # jit rejects the mixed placements
-                eval_place = (None if jax.process_count() > 1
-                              else replicated(mesh))
+                # them on the SAME device set. Passing the mesh itself lets
+                # make_eval_batches shard the batches over 'data' (full
+                # replication would score the whole protocol redundantly
+                # on every device) with a replicated fallback.
+                eval_place = (None if jax.process_count() > 1 else mesh)
                 for ocl in range(1 if opts.debug else 3):
                     acc_new, acc = eval_lfw(opts, enc, rec, ocl, cfg,
                                             score_fn, placement=eval_place)
@@ -678,6 +721,11 @@ def test(opts: Options) -> None:
     else:
         params, model_state, _, _ = load_checkpoint(opts.ckpt_dir,
                                                     opts.which_file)
+    # the torch converters return host-numpy trees; place them ONCE —
+    # host leaves in jitted-call args re-upload the full ~170MB per eval
+    # batch through a relayed device (CLAUDE.md; review finding, round 5)
+    enc_params, enc_state = jax.device_put((enc_params, enc_state))
+    params, model_state = jax.device_put((params, model_state))
     logger.set_current_iter(0, 0)
     score_fn = make_pair_score_fn(cfg.recnet)
     dump_dir = opts.ckpt_dir if opts.save_wrong else None

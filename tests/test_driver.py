@@ -260,3 +260,44 @@ def test_int8_encoder_train(tmp_path, monkeypatch, capfd):
     train(opts)  # 16 samples / batch 8 = 2 int8-encoder steps
     err = capfd.readouterr().err
     assert "[int8_encoder] calibrated static scales" in err
+
+
+def test_mesh_eval_batch_selection():
+    """_mesh_eval_batch: largest batch under the request whose every
+    loader batch (ragged tail included) divides by the 'data' axis."""
+    from ffrnet_tpu.train import _mesh_eval_batch
+
+    assert _mesh_eval_batch(6000, 250, 8) == 248  # 6000%248=48, 48%8=0
+    assert _mesh_eval_batch(6000, 250, 2) == 250
+    assert _mesh_eval_batch(60, 20, 4) == 20
+    assert _mesh_eval_batch(7, 3, 2) is None  # nothing divides -> replicate
+
+
+def test_make_eval_batches_shards_over_mesh(lfw_tree):
+    """Passing the Mesh to make_eval_batches shards every eval batch over
+    'data' (a replicated batch makes each device redundantly score the
+    full protocol — round-5 review); the pair ORDER (and hence the
+    protocol result) is unchanged vs the unsharded loader."""
+    from jax.sharding import PartitionSpec as P
+
+    from ffrnet_tpu.config import Options
+    from ffrnet_tpu.data.datasets import _listdir_cached
+    from ffrnet_tpu.parallel.mesh import make_mesh
+    from ffrnet_tpu.train import make_eval_batches
+
+    _listdir_cached.cache_clear()
+    root, pairs = lfw_tree
+    opts = Options(test_data=str(root), test_pair_list=str(pairs),
+                   seed=0, n_thread=2).finalize(make_dirs=False)
+    mesh = make_mesh(n_data=4, n_model=2)
+    batches, n_pairs = make_eval_batches(opts, 0, 20, placement=mesh)
+    got = []
+    for b in batches:
+        assert b["img1"].shape[0] % 4 == 0
+        assert b["img1"].sharding.spec == P("data")
+        got.append(np.asarray(b["img1"]))
+    assert sum(g.shape[0] for g in got) == n_pairs == 60
+    ref, _ = make_eval_batches(opts, 0, 20)  # default local placement
+    np.testing.assert_array_equal(
+        np.concatenate(got), np.concatenate([np.asarray(b["img1"])
+                                             for b in ref]))

@@ -218,3 +218,71 @@ def test_driver_cache_features_mode(tmp_path, encoder, monkeypatch):
     ckpt = tmp_path / "weight" / "model_FFR-Net-loss_sphere-"
     assert (ckpt / "feature_cache" / "meta.json").exists()
     assert any(f.endswith(".pth.gzip") for f in os.listdir(ckpt))
+
+
+def test_encoder_factory_lazy_and_after_lock(tmp_path, encoder):
+    """The encoder_factory (int8 calibration in the driver — minutes of
+    eager work) runs ONLY when a build actually happens, and only AFTER
+    the builder lock exists so multi-host waiters see a heartbeat
+    throughout (round-5 review: calibrating before the lock let the
+    waiters' grace expire mid-calibration and start a concurrent build
+    into the shared dir)."""
+    import os
+
+    from ffrnet_tpu.training.feature_cache import build_feature_cache
+
+    enc_p, enc_s = encoder
+    d = str(tmp_path / "fc")
+    calls = []
+
+    def factory():
+        assert os.path.exists(os.path.join(d, "building.lock")), \
+            "factory must run under the builder lock"
+        calls.append(1)
+        return enc_p, enc_s
+
+    ds = DetPairs(n=3, flip_prob=0.0)
+    build_feature_cache(ds, enc_p, enc_s, d, batch_size=2,
+                        encoder_factory=factory, fingerprint_extra="tag")
+    assert calls == [1]
+    # complete cache: the factory must NOT be invoked again
+    build_feature_cache(ds, enc_p, enc_s, d, batch_size=2,
+                        encoder_factory=factory, fingerprint_extra="tag")
+    assert calls == [1]
+
+
+def test_fingerprint_extra_and_root_awareness(tmp_path, encoder):
+    """fingerprint_extra separates int8-built from float-built caches
+    without calibrating first, and a dataset pointing at a different
+    image root (same list, same encoder) must not reuse the cache
+    (round-5 review: re-aligned images under a new --train_data were
+    silently served stale features)."""
+    import dataclasses as dc
+    import os
+
+    from ffrnet_tpu.training.feature_cache import cache_fingerprint
+
+    enc_p, enc_s = encoder
+    ds = DetPairs(n=3, flip_prob=0.0)
+    base = cache_fingerprint(ds, enc_p, enc_s)
+    assert cache_fingerprint(ds, enc_p, enc_s) == base  # deterministic
+    assert cache_fingerprint(ds, enc_p, enc_s, extra="int8-static-v1") != base
+
+    @dc.dataclass
+    class RootedPairs(DetPairs):
+        data_root: str = ""
+        items: tuple = (("a.jpg", 0), ("b.jpg", 1), ("c.jpg", 2))
+
+    r1, r2 = tmp_path / "rootA", tmp_path / "rootB"
+    for r in (r1, r2):
+        r.mkdir()
+        for name, content in (("a.jpg", b"x"), ("b.jpg", b"yy"),
+                              ("c.jpg", b"zzz")):
+            (r / name).write_bytes(content)
+    dsA = RootedPairs(n=3, flip_prob=0.0, data_root=str(r1))
+    dsB = RootedPairs(n=3, flip_prob=0.0, data_root=str(r2))
+    fA = cache_fingerprint(dsA, enc_p, enc_s)
+    assert fA != cache_fingerprint(dsB, enc_p, enc_s)  # root differs
+    # same root, a sampled file regenerated with a different size
+    (r1 / "a.jpg").write_bytes(b"xxxx")
+    assert cache_fingerprint(dsA, enc_p, enc_s) != fA
