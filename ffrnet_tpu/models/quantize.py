@@ -161,6 +161,11 @@ def _bake_static_scales(sites, apply_batch, batches, *, margin: float):
     """
     import jax.numpy as jnp
 
+    if margin <= 0:
+        # a zero/negative margin would bake x_scale=0 into every leaf,
+        # saturating all activations to +/-127 and silently producing
+        # garbage embeddings (review finding, round 5)
+        raise ValueError(f"margin must be positive, got {margin}")
     if any("x_scale" in s for s in sites):
         raise ValueError("tree already has baked x_scale leaves; "
                          "re-quantize before calibrating")

@@ -130,7 +130,16 @@ class EmbeddingHTTPServer:
                                 b"uint8", "text/plain")
                     return None
                 face_bytes = _FACE_PIXELS if dtype == "uint8" else _FACE_BYTES
-                n_bytes = int(self.headers.get("Content-Length", 0))
+                try:
+                    n_bytes = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    # malformed header: answer 400 instead of letting the
+                    # ValueError escape into socketserver (which drops the
+                    # connection with a traceback and no HTTP reply)
+                    self.close_connection = True
+                    self._reply(400, b"malformed Content-Length",
+                                "text/plain")
+                    return None
                 limit = outer._max_request_faces * face_bytes
                 if n_bytes > limit:
                     # refuse BEFORE reading: draining a multi-GB body would
@@ -143,6 +152,12 @@ class EmbeddingHTTPServer:
                         f"({limit} bytes)".encode(), "text/plain")
                     return None
                 if n_bytes <= 0 or n_bytes % face_bytes:
+                    if n_bytes <= 0:
+                        # no declared length (e.g. Transfer-Encoding:
+                        # chunked): the body CANNOT be drained, so the
+                        # connection must close or its unread bytes desync
+                        # every pipelined request on this socket
+                        self.close_connection = True
                     # drain the declared body first: leaving it unread would
                     # desync the next request on a keep-alive connection
                     remaining = n_bytes
@@ -185,7 +200,11 @@ class EmbeddingHTTPServer:
                     if self.path == "/embed":
                         raw, rect = self._embed_chunked(faces)
                         out = np.stack([raw, rect])
-                        self._reply(200, out.astype("<f4").tobytes())
+                        # copy=False: astype would otherwise copy the
+                        # already-f4-LE array just before tobytes copies it
+                        # again (~17MB of waste on a 4096-face request)
+                        self._reply(200,
+                                    out.astype("<f4", copy=False).tobytes())
                     elif self.path == "/verify":
                         n = faces.shape[0]
                         if n % 2:
@@ -200,7 +219,8 @@ class EmbeddingHTTPServer:
                         scores = np.sum(a * b, axis=1) / (
                             np.linalg.norm(a, axis=1)
                             * np.linalg.norm(b, axis=1) + 1e-8)
-                        self._reply(200, scores.astype("<f4").tobytes())
+                        self._reply(200, scores.astype(
+                            "<f4", copy=False).tobytes())
                     elif self.path == "/enroll":
                         labels_json = self.headers.get("X-Labels-Json")
                         if labels_json is not None:
@@ -328,9 +348,15 @@ class EmbeddingHTTPServer:
         return self
 
     def close(self) -> None:
-        self._httpd.shutdown()
+        # shutdown() blocks on an event only serve_forever() sets — calling
+        # it when start() never ran would deadlock forever (stdlib
+        # contract); a started-then-exited thread has the event set, so
+        # shutdown() returns immediately there
+        if self._thread.is_alive():
+            self._httpd.shutdown()
         self._httpd.server_close()
-        self._thread.join(timeout=10)
+        if self._thread.is_alive():
+            self._thread.join(timeout=10)
 
     def __enter__(self) -> "EmbeddingHTTPServer":
         return self.start()

@@ -140,6 +140,14 @@ class EmbeddingService:
             raise ValueError(
                 f"group of {arr.shape[0]} exceeds max_batch={self._max_batch};"
                 " split it or raise max_batch")
+        if arr.shape[0] == 0:
+            # resolve immediately: an empty group reaching the collector
+            # could dispatch a fully-padded bucket through the relay to
+            # compute nothing (and would skew stats.mean_batch)
+            fut: Future = Future()
+            fut.set_result((np.zeros((0, 512), np.float32),
+                            np.zeros((0, 512), np.float32)))
+            return fut
         fut: Future = Future()
         with self._lock:
             if self._closed:

@@ -355,3 +355,14 @@ def test_quantized_model_evaluate_protocol():
     # accuracies themselves stay within one fold's quantum
     assert abs(acc_new_q - acc_new_f) <= 0.2
     assert 0.0 <= acc_new_q <= 1.0
+
+
+def test_calibration_rejects_nonpositive_margin():
+    """margin <= 0 would bake x_scale=0 into every leaf and saturate all
+    activations to +/-127 — must raise, not silently produce garbage
+    (round-5 review)."""
+    from ffrnet_tpu.models.quantize import _bake_static_scales
+
+    for bad in (0.0, -1.0):
+        with pytest.raises(ValueError, match="margin"):
+            _bake_static_scales([{}], lambda x: None, [], margin=bad)

@@ -461,3 +461,57 @@ def test_service_int8_static_same_api_and_close_embeddings(model):
 def test_calibrate_int8_requires_quantized(model):
     with pytest.raises(ValueError, match="quantize_int8"):
         model.calibrate_int8([_faces(2)])
+
+
+def test_http_round5_hardening(model):
+    """Round-5 review findings: malformed Content-Length answers 400
+    instead of dropping the connection; a chunked body (no length) gets
+    400 AND a closed connection (its unread body would desync pipelined
+    requests); close() before start() must not deadlock; an empty submit
+    group resolves immediately without a padded dispatch."""
+    import socket
+    import time as _time
+
+    from ffrnet_tpu.serving import EmbeddingHTTPServer
+
+    svc = EmbeddingService(model, max_batch=8, max_delay_s=0.0)
+
+    # close() before start(): stdlib shutdown() waits on an event only
+    # serve_forever() sets — this used to hang forever
+    srv0 = EmbeddingHTTPServer(svc)
+    t0 = _time.time()
+    srv0.close()
+    assert _time.time() - t0 < 5.0
+
+    # empty group: immediate empty result, no collector dispatch
+    raw, rect = svc.submit(
+        np.zeros((0, 112, 112, 3), np.float32)).result(timeout=5)
+    assert raw.shape == (0, 512) and rect.shape == (0, 512)
+
+    with EmbeddingHTTPServer(svc) as srv:
+
+        def raw_request(req_bytes):
+            with socket.create_connection(("127.0.0.1", srv.port),
+                                          timeout=10) as s:
+                s.sendall(req_bytes)
+                s.settimeout(10)
+                data = b""
+                while True:
+                    chunk = s.recv(4096)
+                    if not chunk:
+                        break
+                    data += chunk
+                return data
+
+        resp = raw_request(b"POST /embed HTTP/1.1\r\nHost: x\r\n"
+                           b"Content-Length: abc\r\n\r\n")
+        assert resp.split(b"\r\n", 1)[0].split()[1] == b"400", resp[:100]
+
+        resp = raw_request(
+            b"POST /embed HTTP/1.1\r\nHost: x\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n5\r\nhello\r\n0\r\n\r\n")
+        assert resp.split(b"\r\n", 1)[0].split()[1] == b"400", resp[:100]
+        # exactly ONE response then the socket closed: the chunked bytes
+        # were never parsed as a second request
+        assert resp.count(b"HTTP/1.") == 1
+    svc.close()
