@@ -79,8 +79,13 @@ def kfold_verification(scores, labels, *, n_folds: int = N_FOLDS) -> FoldResult:
     scores = scores[:n_used]
     labels = labels[:n_used]
     n = n_used
+    # the grid stays f32 for all sub-f64 scores: bf16 scores promote to
+    # f32 in the comparison and every bf16 value is exactly representable
+    # there, so the round-down construction stays exact — casting the
+    # grid to bf16 would re-round each threshold to NEAREST (up to ~0.004
+    # off) and defeat it (round-5 review)
     thresholds = (jnp.asarray(_T64) if scores.dtype == jnp.float64
-                  else jnp.asarray(_T32, scores.dtype))
+                  else jnp.asarray(_T32))
 
     # predicted-same iff score > threshold (strict >, lfw/lfw_eval.py:142)
     pred = scores[None, :] > thresholds[:, None]  # (T, N)
@@ -111,8 +116,6 @@ def misclassified_indices(scores, labels, result: FoldResult,
     (score > threshold) != label. Host-side numpy — this feeds image dumps,
     not the hot path.
     """
-    import numpy as np
-
     scores = np.asarray(scores)
     labels = np.asarray(labels) > 0
     thresholds = np.asarray(result.best_thresholds)
@@ -142,8 +145,10 @@ def roc_curve(scores, labels):
     Framework extra beyond the reference (which reports fold accuracy
     only, lfw/lfw_eval.py:137-162): one vectorized (T, N) reduction.
     """
-    thresholds = THRESHOLD_START + THRESHOLD_STEP * jnp.arange(
-        N_THRESHOLDS, dtype=scores.dtype)
+    # the module's ONE canonical grid (round-down f32): rebuilding it here
+    # by accumulation in scores.dtype diverged from kfold_verification's
+    # thresholds near grid points (round-5 review)
+    thresholds = jnp.asarray(_T32)
     pred = scores[None, :] > thresholds[:, None]  # (T, N)
     pos = (labels > 0)[None, :]
     tp = jnp.sum(pred & pos, axis=1).astype(jnp.float32)
@@ -154,14 +159,13 @@ def roc_curve(scores, labels):
 
 
 def tar_at_far(scores, labels, far_targets=(1e-3, 1e-2)):
-    """Verification TAR at the given FARs (linear interpolation along the
-    threshold sweep). Host-side convenience over roc_curve."""
-    import numpy as np
+    """Verification TAR at the given FARs, from the EXACT empirical ROC.
 
-    fpr, tpr = jax.device_get(roc_curve(jnp.asarray(scores),
-                                        jnp.asarray(labels)))
-    order = np.argsort(fpr)
-    fpr, tpr = fpr[order], tpr[order]
+    The 400-point protocol grid is too coarse at small FARs (with 3000
+    negatives one 0.005 threshold step can jump FPR across many 3.3e-4
+    steps — exact_roc's docstring says as much), so this interpolates on
+    exact_roc like roc_metrics does (round-5 review)."""
+    fpr, tpr = exact_roc(np.asarray(scores), np.asarray(labels))
     return {float(f): float(np.interp(f, fpr, tpr)) for f in far_targets}
 
 

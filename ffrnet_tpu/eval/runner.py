@@ -11,7 +11,7 @@ the 10-fold sweep then runs as a single device reduction
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Iterable, Tuple
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,23 @@ def make_pair_score_fn(cfg: RecNetConfig, *, num_layers: int = 50,
     return score
 
 
+_SCORE_FN_CACHE: dict = {}
+
+
+def _cached_score_fn(cfg: RecNetConfig):
+    """Default score fn, cached by config: a fresh closure per call would
+    miss jax's jit cache (keyed on function identity) and repay the full
+    encoder+RecNet compile — 30-90s on the TPU — on EVERY evaluate call
+    (round-5 review). Callers with custom num_layers/mode pass score_fn."""
+    import dataclasses
+
+    key = (type(cfg).__name__,) + dataclasses.astuple(cfg)
+    fn = _SCORE_FN_CACHE.get(key)
+    if fn is None:
+        fn = _SCORE_FN_CACHE[key] = make_pair_score_fn(cfg)
+    return fn
+
+
 def _concat_labels(chunks):
     """One device array from per-batch labels. Host chunks concatenate on
     the host first (ONE upload, not one tiny device_put per batch — fixed
@@ -97,7 +114,7 @@ def evaluate_pairs(enc_params, enc_state, rec_params, rec_state,
     at the end (through a relayed TPU each sync costs an RTT; the reference
     round-trips every batch, lfw/lfw_eval.py:226-252).
     """
-    score = score_fn or make_pair_score_fn(cfg)
+    score = score_fn or _cached_score_fn(cfg)
     raw_chunks, new_chunks, labels = [], [], []
     for batch in batches:
         s_raw, s_new = _score_batch(score, enc_params, enc_state,
@@ -158,7 +175,7 @@ def evaluate_pairs_multiprocess(enc_params, enc_state, rec_params, rec_state,
 
     if process_index is None:
         process_index, process_count = jax.process_index(), jax.process_count()
-    score = score_fn or make_pair_score_fn(cfg)
+    score = score_fn or _cached_score_fn(cfg)
     raw_chunks, new_chunks, lab_chunks = [], [], []
     for batch in local_batches:
         s_raw, s_new = _score_batch(score, enc_params, enc_state,
@@ -185,18 +202,27 @@ def evaluate_pairs_multiprocess(enc_params, enc_state, rec_params, rec_state,
     sizes = [process_pair_slice(n_pairs, p, process_count).stop
              - process_pair_slice(n_pairs, p, process_count).start
              for p in range(process_count)]
-    if local["raw"].shape[0] != sizes[process_index]:
-        raise ValueError(
-            f"process {process_index} scored {local['raw'].shape[0]} pairs "
-            f"but owns {sizes[process_index]} of {n_pairs} "
-            f"(feed batches over process_pair_slice)")
     cap = max(sizes)
 
-    def pad(x):
+    def fit(x):
+        # truncate-then-pad so every process enters the collective with
+        # the agreed (cap,) shape even when its batches were mis-sliced
+        x = x[:cap]
         return np.pad(x, (0, cap - x.shape[0]))
 
-    gathered = multihost_utils.process_allgather(
-        {k: pad(v) for k, v in local.items()})  # (P, cap) per leaf
+    payload = {k: fit(v) for k, v in local.items()}
+    # actual per-process counts ride along so the mismatch check can run
+    # AFTER the collective on every host: raising before it would leave
+    # the other processes hanging forever in process_allgather with no
+    # diagnostic (round-5 review)
+    payload["count"] = np.asarray([local["raw"].shape[0]], np.int64)
+    gathered = multihost_utils.process_allgather(payload)  # (P, cap)/leaf
+    counts = np.asarray(gathered["count"]).reshape(process_count)
+    if not np.array_equal(counts, np.asarray(sizes)):
+        raise ValueError(
+            f"per-process pair counts {counts.tolist()} do not match the "
+            f"owned process_pair_slice sizes {sizes} of {n_pairs} (feed "
+            "batches over process_pair_slice)")  # symmetric: every host
 
     def unpad(leaf):
         return np.concatenate(

@@ -203,6 +203,13 @@ def warp_affine_mxu(imgs, mats, *, out_hw: Tuple[int, int], block: int = 1792,
 
     Same semantics as `warp_affine` (cv2 dst->src inverse mapping).
     """
+    if not jnp.issubdtype(imgs.dtype, jnp.floating):
+        # integer images: the bilinear weights below are cast to the image
+        # dtype for MXU rate — on uint8 that truncates every fractional
+        # weight in [0,1) to 0 and corrupts the crop (measured 231/255 max
+        # pixel error; round-5 review). Compute in f32; the output is then
+        # float, matching warp_affine_tiled's behavior on integer input.
+        imgs = imgs.astype(jnp.float32)
     n, h, w, c = imgs.shape
     out_h, out_w = out_hw
     p_total = out_h * out_w
@@ -656,6 +663,10 @@ def warp_affine(imgs, mats, *, out_hw: Tuple[int, int]):
     cv2 column-vector convention. out_hw: (H_out, W_out). cv2 inverts the
     matrix internally (no WARP_INVERSE_MAP); we do the same.
     """
+    if not jnp.issubdtype(imgs.dtype, jnp.floating):
+        # integer images would truncate the fractional w00..w11 weights
+        # below to 0 (round-5 review) — compute in f32, return float
+        imgs = imgs.astype(jnp.float32)
     n, h, w, c = imgs.shape
     out_h, out_w = out_hw
     inv = _invert_2x3(mats.astype(jnp.float32))

@@ -254,3 +254,86 @@ def test_exact_roc_and_metrics():
     # degenerate single-class inputs stay finite
     m_pos = roc_metrics(np.array([0.1, 0.2]), np.array([1, 1]))
     assert np.isfinite(m_pos["eer"]) and np.isfinite(m_pos["auc"])
+
+
+def test_kfold_bf16_scores_use_exact_f32_grid():
+    """The round-down threshold grid must stay f32 even for bf16 scores:
+    comparisons promote bf16 -> f32 exactly, whereas casting the grid to
+    bf16 re-rounds thresholds to NEAREST and flips comparisons near grid
+    points (round-5 review). Property: bf16 scores and their exact f32
+    images must produce identical fold results."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(11)
+    labels = (rng.uniform(size=600) > 0.5).astype(np.int64)
+    scores = np.where(labels > 0, rng.normal(0.35, 0.3, 600),
+                      rng.normal(-0.2, 0.3, 600)).astype(np.float32)
+    # park some scores exactly ON grid points (as bf16 values)
+    scores[:100] = np.float32(
+        np.asarray([-0.5, 0.0, 0.25, 0.5] * 25, np.float32).astype(
+            ml_dtypes.bfloat16))
+    s_bf16 = jnp.asarray(scores).astype(jnp.bfloat16)
+    s_f32 = s_bf16.astype(jnp.float32)  # exact image of every bf16 value
+    r16 = kfold_verification(s_bf16, jnp.asarray(labels))
+    r32 = kfold_verification(s_f32, jnp.asarray(labels))
+    assert float(r16.mean_accuracy) == float(r32.mean_accuracy)
+    np.testing.assert_array_equal(np.asarray(r16.best_thresholds),
+                                  np.asarray(r32.best_thresholds))
+    assert np.asarray(r16.best_thresholds).dtype == np.float32
+
+
+def test_tar_at_far_matches_exact_roc():
+    """tar_at_far interpolates on the EXACT empirical ROC (the 400-point
+    grid is too coarse at small FARs — round-5 review): it must agree
+    with roc_metrics for shared targets."""
+    from ffrnet_tpu.eval.lfw import roc_metrics, tar_at_far
+
+    rng = np.random.default_rng(5)
+    labels = (rng.uniform(size=4000) > 0.5).astype(np.int64)
+    scores = np.where(labels > 0, rng.normal(0.5, 0.2, 4000),
+                      rng.normal(-0.2, 0.2, 4000)).astype(np.float32)
+    tar = tar_at_far(scores, labels, far_targets=(1e-3, 1e-2))
+    m = roc_metrics(scores, labels, far_targets=(1e-3, 1e-2))
+    assert tar == m["tar@far"]
+
+
+def test_evaluate_pairs_default_score_fn_is_cached():
+    """evaluate_pairs without score_fn must reuse ONE jitted score fn per
+    config — a fresh closure per call would repay the full 30-90s TPU
+    compile on every eval (round-5 review)."""
+    from ffrnet_tpu.eval.runner import _SCORE_FN_CACHE, _cached_score_fn
+    from ffrnet_tpu.models.recnet import RecNetConfig
+
+    cfg = RecNetConfig(num_classes=7)
+    f1 = _cached_score_fn(cfg)
+    f2 = _cached_score_fn(RecNetConfig(num_classes=7))  # equal config
+    assert f1 is f2
+    assert _cached_score_fn(RecNetConfig(num_classes=8)) is not f1
+    assert any(len(k) > 1 for k in _SCORE_FN_CACHE)
+
+
+def test_multiprocess_size_mismatch_fails_after_collective():
+    """A mis-sliced process must fail with the count diagnostic AFTER the
+    all-gather (raising before it would hang every other host in the
+    collective forever — round-5 review). Single-process simulation:
+    the collective degenerates to a local gather."""
+    import jax
+
+    from ffrnet_tpu.eval.runner import evaluate_pairs_multiprocess
+    from ffrnet_tpu.models import irse, recnet
+    from ffrnet_tpu.models.recnet import RecNetConfig
+
+    cfg = RecNetConfig(num_classes=4)
+    enc_p, enc_s = irse.init(jax.random.PRNGKey(0))
+    rec_p, rec_s = recnet.init(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(0)
+    batches = [{
+        "img1": rng.uniform(-1, 1, (10, 112, 112, 3)).astype(np.float32),
+        "img2": rng.uniform(-1, 1, (10, 112, 112, 3)).astype(np.float32),
+        "label": rng.integers(0, 2, 10).astype(np.int64),
+    }]
+    with pytest.raises(ValueError, match="per-process pair counts"):
+        # claims 30 pairs but feeds only 10
+        evaluate_pairs_multiprocess(enc_p, enc_s, rec_p, rec_s, batches,
+                                    n_pairs=30, cfg=cfg,
+                                    process_index=0, process_count=1)
