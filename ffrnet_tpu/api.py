@@ -156,7 +156,20 @@ class FFRNet:
         in_dtype = host_q["input"]["conv"]["w"].dtype  # stem stays float
         cal_enc, cal_rec = host_q, None
         with jax.default_device(cpu):
-            xb = [jnp.asarray(np.asarray(b), in_dtype) for b in batches]
+            def to_cal(b):
+                a = np.asarray(b)
+                if a.dtype == np.uint8:
+                    # raw 0..255 pixels (the loader's default upload
+                    # format, which embed() normalizes transparently)
+                    # would calibrate activations ~127x too large and
+                    # bake garbage scales with no error (round-5
+                    # review) — apply the same [-1,1] normalization
+                    from ffrnet_tpu.data.datasets import _to_unit
+
+                    a = _to_unit(a)
+                return jnp.asarray(a, in_dtype)
+
+            xb = [to_cal(b) for b in batches]
             featmaps = []
             host_enc = jax.tree.map(jnp.asarray, host_q)
             host_es = jax.tree.map(jnp.asarray, host_s)
@@ -286,11 +299,21 @@ class FFRNet:
         d1, d2 = _dt(img1), _dt(img2)
         if d1 != d2 and np.uint8 in (d1.type, d2.type):
             from ffrnet_tpu.data.datasets import _to_unit
+            from ffrnet_tpu.ops.nn import images_to_unit_range
+
+            def normalize(x):
+                # device arrays normalize ON DEVICE: np.asarray here would
+                # be a blocking fetch + host normalize + full re-upload —
+                # two transfers through a ~50ms-RTT relay for nothing
+                # (round-5 review)
+                if isinstance(x, jax.Array):
+                    return images_to_unit_range(x)
+                return _to_unit(np.asarray(x))
 
             if d1.type is np.uint8:
-                img1 = _to_unit(np.asarray(img1))
+                img1 = normalize(img1)
             else:
-                img2 = _to_unit(np.asarray(img2))
+                img2 = normalize(img2)
         if isinstance(img1, jax.Array) or isinstance(img2, jax.Array):
             both = jnp.concatenate([jnp.asarray(img1), jnp.asarray(img2)],
                                    axis=0)

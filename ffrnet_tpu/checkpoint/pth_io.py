@@ -122,6 +122,17 @@ class _TorchUnpickler(pickle.Unpickler):
         if (module, name) == ("collections", "OrderedDict"):
             return _OrderedDictStub
         if module.startswith("torch"):
+            if name.startswith("_rebuild"):
+                # an unsupported tensor-reconstruction path (sparse /
+                # quantized / _rebuild_parameter_with_state ...): a silent
+                # None here would surface far away as an opaque
+                # AttributeError in the tree converters (round-5 review)
+                def _unsupported(*a, _name=f"{module}.{name}", **k):
+                    raise ValueError(
+                        f"unsupported torch checkpoint feature: {_name} "
+                        "(sparse/quantized/stateful tensors are not "
+                        "supported by this torch-free reader)")
+                return _unsupported
             # Any other torch object (device, dtype, size...) -> inert stub.
             return lambda *a, **k: None
         return super().find_class(module, name)

@@ -47,8 +47,12 @@ def save_checkpoint(ckpt_dir: str, file_name: str, *, params, model_state,
     if extra:
         payload.update(extra)
     path = os.path.join(ckpt_dir, file_name + ".pth.gzip")
-    # atomic write; tmp keeps the .gzip suffix so save_pth compresses
-    tmp = os.path.join(ckpt_dir, f".{file_name}.tmp.pth.gzip")
+    # atomic write; tmp keeps the .gzip suffix so save_pth compresses, and
+    # carries the pid so concurrent writers (e.g. multiple hosts sharing a
+    # checkpoint dir) never interleave bytes on one tmp inode or race the
+    # os.replace (round-5 review) — the final replace is last-writer-wins
+    # on identical content
+    tmp = os.path.join(ckpt_dir, f".{file_name}.tmp.{os.getpid()}.pth.gzip")
     save_pth(payload, tmp)
     os.replace(tmp, path)
     return path
@@ -68,6 +72,10 @@ def resolve_latest(ckpt_dir: str, file_name: str = "latest") -> str:
         return os.path.join(ckpt_dir, cands[-1])
     if "/" in file_name:
         return file_name
+    if file_name.endswith(".pth.gzip"):
+        # user passed the on-disk filename (e.g. --which_file
+        # 0005000.pth.gzip): don't double the suffix (round-5 review)
+        return os.path.join(ckpt_dir, file_name)
     return os.path.join(ckpt_dir, file_name + ".pth.gzip")
 
 
@@ -94,6 +102,19 @@ def restore_opt_state(template_opt_state, opt_leaves):
         raise ValueError(
             f"optimizer state mismatch: {len(template_leaves)} leaves expected,"
             f" checkpoint has {len(opt_leaves)} (different optimizer?)")
+    for i, (t, x) in enumerate(zip(template_leaves, opt_leaves)):
+        ts = getattr(t, "shape", None)
+        xs = np.shape(x)
+        if ts is not None and tuple(ts) != tuple(xs):
+            # same leaf COUNT does not mean same model config (e.g. a
+            # changed num_classes keeps the structure but not the
+            # classifier-moment shape); failing here names the leaf
+            # instead of surfacing as an opaque XLA shape error deep in
+            # the jitted step (round-5 review)
+            raise ValueError(
+                f"optimizer state mismatch at leaf {i}: checkpoint shape "
+                f"{tuple(xs)} vs expected {tuple(ts)} (different model "
+                "configuration?)")
     leaves = [np.asarray(x, dtype=getattr(t, "dtype", None))
               for t, x in zip(template_leaves, opt_leaves)]
     return jax.tree.unflatten(treedef, leaves)

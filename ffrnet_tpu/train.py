@@ -569,6 +569,13 @@ def _train(opts: Options, guard: PreemptionGuard) -> None:
     last_orbax_step = [-1]
 
     def save_now(name: str, epoch: int, iteration: int) -> None:
+        if (opts.ckpt_backend != "orbax" and jax.process_count() > 1
+                and jax.process_index() != 0):
+            # pth backend over a shared dir: one writer — N processes
+            # writing the same file raced each other (round-5 review).
+            # orbax coordinates multi-host saves itself, so every process
+            # must participate there.
+            return
         # slice TP class padding off before writing: checkpoints keep the
         # torch-compatible (num_classes, 512) classifier (models/recnet.py:248)
         ck = unpad_train_state_classes(state, cfg.recnet.num_classes)

@@ -145,3 +145,44 @@ def test_prepare_on_quantized_model_guards(model):
     again = recast.prepare(quantize_int8=True)
     w2 = again.enc_params["body"][0]["res"]["conv1"]["w"]
     assert (np.asarray(w2["q"]) == np.asarray(wq["q"])).all()
+
+
+def test_calibrate_int8_normalizes_uint8_batches(monkeypatch):
+    """uint8 calibration batches (the loader's default upload format,
+    which embed() normalizes transparently) must get the same [-1,1]
+    normalization before calibration — raw 0..255 activations would bake
+    scales ~127x too large with no error (round-5 review)."""
+    from ffrnet_tpu.data.datasets import _to_unit
+    from ffrnet_tpu.models import quantize as qmod
+
+    captured = {}
+
+    def fake_cal(qp, st, xb, *, margin, capture_featmaps=None):
+        captured["xb"] = [np.asarray(x, np.float32) for x in xb]
+        return qp
+
+    monkeypatch.setattr(qmod, "calibrate_activation_scales", fake_cal)
+    m = FFRNet.random(0).prepare(quantize_int8=True)
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 112, 112, 3), dtype=np.uint8)
+    m.calibrate_int8([u8])
+    got = captured["xb"][0]
+    np.testing.assert_allclose(got, _to_unit(u8), atol=1e-6)
+    # float batches pass through unchanged
+    f32 = rng.uniform(-1, 1, (2, 112, 112, 3)).astype(np.float32)
+    m.calibrate_int8([f32])
+    np.testing.assert_allclose(captured["xb"][0], f32, atol=1e-6)
+
+
+def test_verify_mixed_uint8_device_side_normalize():
+    """verify() with a DEVICE uint8 side normalizes on device (no host
+    fetch + re-upload; round-5 review) and matches the all-float result."""
+    model = FFRNet.random(0)
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (2, 112, 112, 3), dtype=np.uint8)
+    f2 = rng.uniform(-1, 1, (2, 112, 112, 3)).astype(np.float32)
+    from ffrnet_tpu.data.datasets import _to_unit
+
+    want = np.asarray(model.verify(_to_unit(u8), f2), np.float32)
+    got = np.asarray(model.verify(jnp.asarray(u8), f2), np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)

@@ -342,3 +342,31 @@ def test_recnet_from_torch_validates_num_classes():
     recnet_from_torch(sd)         # no cfg: skip validation (resume path)
     with pytest.raises(ValueError, match="16 classes"):
         recnet_from_torch(sd, RecNetConfig(num_classes=10575))
+
+
+def test_resolve_latest_accepts_on_disk_filename(tmp_path):
+    """--which_file with the literal on-disk name ('0005000.pth.gzip')
+    must resolve instead of double-suffixing (round-5 review)."""
+    from ffrnet_tpu.checkpoint.store import resolve_latest
+
+    (tmp_path / "0005000.pth.gzip").write_bytes(b"x")
+    got = resolve_latest(str(tmp_path), "0005000.pth.gzip")
+    assert got == str(tmp_path / "0005000.pth.gzip")
+    assert resolve_latest(str(tmp_path), "0005000") == got
+
+
+def test_restore_opt_state_rejects_wrong_shapes():
+    """Same leaf COUNT but a different model config (e.g. changed
+    num_classes) must fail fast with the leaf named, not as an opaque
+    XLA shape error inside the jitted step (round-5 review)."""
+    from ffrnet_tpu.checkpoint.store import restore_opt_state
+
+    template = {"m": np.zeros((4, 2), np.float32),
+                "v": np.zeros((4, 2), np.float32), "count": 0}
+    # dict leaves flatten in key order: count, m, v
+    good = restore_opt_state(template, [np.int64(3), np.ones((4, 2)),
+                                        np.ones((4, 2))])
+    assert good["m"].shape == (4, 2)
+    with pytest.raises(ValueError, match="leaf 1: checkpoint shape"):
+        restore_opt_state(template, [np.int64(3), np.ones((5, 2)),
+                                     np.ones((4, 2))])

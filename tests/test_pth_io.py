@@ -104,3 +104,23 @@ def test_save_pth_unsupported_dtype_message(tmp_path):
     with np.testing.assert_raises_regex(ValueError, "uint32"):
         save_pth({"w": np.zeros(4, np.uint32)}, str(tmp_path / "x.pth"),
                  use_torch=False)
+
+
+def test_unsupported_rebuild_raises_named_error():
+    """Unknown torch _rebuild_* reconstruction paths (sparse/quantized/
+    _rebuild_parameter_with_state) must raise a NAMED error when invoked,
+    not silently materialize tensors as None (round-5 review); inert
+    metadata stubs (device, dtype...) stay inert."""
+    import io
+
+    from ffrnet_tpu.checkpoint.pth_io import _TorchUnpickler
+
+    u = _TorchUnpickler(io.BytesIO(b""), None)
+    fn = u.find_class("torch._utils", "_rebuild_parameter_with_state")
+    with pytest.raises(ValueError,
+                       match="_rebuild_parameter_with_state"):
+        fn(None, None)
+    fn2 = u.find_class("torch._utils", "_rebuild_sparse_tensor")
+    with pytest.raises(ValueError, match="unsupported torch checkpoint"):
+        fn2()
+    assert u.find_class("torch", "device")("cuda") is None  # still inert
