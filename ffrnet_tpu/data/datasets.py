@@ -210,7 +210,17 @@ class CasiaPairs:
                 return {"img_non": img_f, "img_ocl": mask_f,
                         "label": np.int32(label)}
             except RuntimeError:
-                pass  # non-JPEG or decode failure -> PIL path
+                # non-JPEG or decode failure -> PIL path. Disable native
+                # for this dataset after the first failure: a non-JPEG
+                # tree would otherwise read every file TWICE (native
+                # attempt + PIL retry) on every sample of every epoch
+                # with no warning (round-5 review)
+                self._native = False
+                import sys
+
+                print(f"[warn] native decode failed for {path!r} — "
+                      "falling back to PIL for this dataset (non-JPEG "
+                      "files?)", file=sys.stderr)
         img = _load_bgr(p1)
         mask = _load_bgr(p2)
         if flip:
@@ -330,8 +340,10 @@ def gen_occlusion_mask(rng: np.random.Generator, img_hw: Tuple[int, int],
     h, w = img_hw
     mh, mw = mask_hw
     mask = np.ones((h, w, 1), np.float32)
-    y = int(rng.integers(0, max(h - mh, 1)))
-    x = int(rng.integers(0, max(w - mw, 1)))
+    # +1: integers() is high-exclusive — without it the mask could never
+    # sit flush to the bottom/right edge (round-5 review)
+    y = int(rng.integers(0, max(h - mh + 1, 1)))
+    x = int(rng.integers(0, max(w - mw + 1, 1)))
     mask[y:y + mh, x:x + mw] = 0.0
     return mask
 

@@ -200,6 +200,26 @@ def apply(params, state, x, *, num_layers: int = 50, mode: str = "ir_se",
     Returns (featmap (N,7,7,512), embed (N,512) L2-normalized, new_state).
     """
     units = unit_configs(num_layers)
+    # fail fast on params/arg mismatches (round-5 review): a 100-layer
+    # tree under num_layers=50 would silently zip-truncate to 24 units
+    # with wrong stride placement, and an ir_se tree under mode='ir'
+    # would silently skip every SE gate — both produce plausible-looking
+    # but wrong embeddings
+    if len(params["body"]) != len(units):
+        raise ValueError(
+            f"params tree has {len(params['body'])} residual units but "
+            f"num_layers={num_layers} expects {len(units)} — pass the "
+            "num_layers the tree was initialized with")
+    has_se = "se" in params["body"][0]["res"]
+    if (mode == "ir_se") != has_se:
+        raise ValueError(
+            f"mode={mode!r} does not match the params tree (which "
+            f"{'has' if has_se else 'lacks'} SE blocks)")
+    if training and rng is None and drop_ratio > 0:
+        raise ValueError(
+            "training=True needs an rng for dropout (drop_ratio="
+            f"{drop_ratio}); silently disabling it would train under a "
+            "different regime than requested")
     new_state: Dict[str, Any] = {}
 
     w_in = params["input"]["conv"]["w"]

@@ -124,3 +124,36 @@ def test_upsample_nearest_2x():
     expected = torch.nn.functional.interpolate(_t(x), scale_factor=2, mode="nearest")
     ours = ops.upsample_nearest_2x(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), _j(expected), atol=0)
+
+
+def test_irse_apply_rejects_mismatched_mode_and_depth():
+    """An ir_se params tree under mode='ir' would silently skip every SE
+    gate; a deeper tree under the default num_layers would zip-truncate
+    to 24 units — both must fail fast (round-5 review)."""
+    import pytest
+
+    from ffrnet_tpu.models import irse
+
+    params, state = irse.init(jax.random.PRNGKey(0))  # ir_se, 50
+    x = jnp.zeros((1, 112, 112, 3), jnp.float32)
+    with pytest.raises(ValueError, match="SE blocks"):
+        irse.apply(params, state, x, mode="ir")
+    with pytest.raises(ValueError, match="residual units"):
+        irse.apply(params, state, x, num_layers=100)
+    with pytest.raises(ValueError, match="rng"):
+        irse.apply(params, state, x, training=True)
+
+
+def test_gen_occlusion_mask_reaches_every_placement():
+    """The mask must be able to sit flush to the bottom/right edge
+    (integers() is high-exclusive; round-5 review off-by-one)."""
+    from ffrnet_tpu.data.datasets import gen_occlusion_mask
+
+    rng = np.random.default_rng(0)
+    hit_edge = False
+    for _ in range(200):
+        m = gen_occlusion_mask(rng, (8, 8), (4, 4))
+        if m[7, 7, 0] == 0.0:
+            hit_edge = True
+            break
+    assert hit_edge, "flush bottom-right placement never sampled"
