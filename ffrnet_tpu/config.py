@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 from ffrnet_tpu.models.recnet import RecNetConfig
@@ -156,6 +156,7 @@ class Options:
             beta2=self.beta2,
             momentum=self.momentum,
             weight_decay=self.weight_decay,
+            nesterov=bool(self.nesterov),
             loss_weight=tuple(self.loss_weight),
             faithful_ce_weight=bool(self.faithful_ce_weight),
             compute_dtype=self.compute_dtype,

@@ -28,12 +28,46 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
-    """('data', 'model') mesh over the given (default: all) devices."""
+    """('data', 'model') mesh over the given (default: all) devices.
+
+    Fails fast with actionable messages (round-5 review): an oversized
+    'model' axis used to produce a zero-size 'data' axis (surfacing later
+    as ZeroDivisionError in batch validation) and an oversized explicit
+    shape died in an opaque numpy reshape. Devices left over by a
+    non-divisible count are dropped with a warning, never silently.
+    """
     if devices is None:
         devices = jax.devices()
+    if n_model < 1:
+        raise ValueError(f"--mesh_model must be >= 1, got {n_model}")
+    if n_model > len(devices):
+        raise ValueError(
+            f"--mesh_model {n_model} exceeds the {len(devices)} visible "
+            "devices")
     if n_data is None:
         n_data = len(devices) // n_model
-    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    if n_data < 1 or n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh ({n_data} data x {n_model} model) needs "
+            f"{max(n_data, 1) * n_model} devices but only {len(devices)} "
+            "are visible — lower --mesh_data/--mesh_model")
+    used = n_data * n_model
+    if used < len(devices):
+        import sys
+
+        print(f"[warn] mesh ({n_data}x{n_model}) uses {used} of "
+              f"{len(devices)} devices — {len(devices) - used} idle",
+              file=sys.stderr)
+    try:
+        # topology-aware assignment: the flat jax.devices() order can put
+        # a >1-wide 'model' axis across non-adjacent chips, sending the
+        # classifier TP collectives over the wrong links (round-5 review)
+        from jax.experimental import mesh_utils
+
+        devs = mesh_utils.create_device_mesh((n_data, n_model),
+                                             devices=devices[:used])
+    except Exception:  # fallback: enumeration-order reshape
+        devs = np.asarray(devices[:used]).reshape(n_data, n_model)
     return Mesh(devs, ("data", "model"))
 
 

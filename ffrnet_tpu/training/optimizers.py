@@ -7,16 +7,13 @@ All weight decay is torch-style L2-into-gradient (not decoupled).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Union
+from typing import Callable, NamedTuple
 
-import chex
 import jax
 import jax.numpy as jnp
 import optax
 
 from ffrnet_tpu.training.adabound import adabound
-
-ScalarOrSchedule = Union[float, Callable]
 
 
 def _sched(learning_rate) -> Callable:
@@ -85,7 +82,8 @@ def sgd(learning_rate, *, momentum=0.9, weight_decay=0.0, nesterov=False):
 
 
 def make_optimizer(name: str, learning_rate, *, b1=0.9, b2=0.999, momentum=0.9,
-                   weight_decay=0.0, clip_value: float | None = 1.0,
+                   weight_decay=0.0, nesterov: bool = False,
+                   clip_value: float | None = 1.0,
                    base_lr: float | None = None):
     """Build the full update rule used by the trainer: elementwise clip at
     `clip_value` (reference: clip_grad_value_(1.0)) then the named optimizer.
@@ -101,7 +99,8 @@ def make_optimizer(name: str, learning_rate, *, b1=0.9, b2=0.999, momentum=0.9,
     elif name == "rmsprop":
         tx = rmsprop(learning_rate, momentum=momentum, weight_decay=weight_decay)
     elif name == "sgd":
-        tx = sgd(learning_rate, momentum=momentum, weight_decay=weight_decay)
+        tx = sgd(learning_rate, momentum=momentum, weight_decay=weight_decay,
+                 nesterov=nesterov)
     elif name == "adabound":
         tx = adabound(learning_rate, base_lr=base_lr, final_lr=100.0 * base_lr,
                       b1=b1, b2=b2, weight_decay=weight_decay)

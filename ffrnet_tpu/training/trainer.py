@@ -40,6 +40,9 @@ class TrainerConfig:
     beta1: float = 0.9
     beta2: float = 0.999
     momentum: float = 0.9
+    nesterov: bool = False  # SGD only; wired from --nesterov (the
+    # reference parses the flag but never forwards it to optim.SGD,
+    # utils/options.py:56 — here it reaches the optimizer)
     weight_decay: float = 0.0
     loss_weight: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     milestones: Tuple[int, ...] = (5000, 10000, 15000)
@@ -64,7 +67,8 @@ class TrainerConfig:
         return optimizers.make_optimizer(
             self.optimizer, self.lr_schedule(), b1=self.beta1, b2=self.beta2,
             momentum=self.momentum, weight_decay=self.weight_decay,
-            clip_value=self.clip_value, base_lr=self.lr)
+            nesterov=self.nesterov, clip_value=self.clip_value,
+            base_lr=self.lr)
 
 
 class TrainState(NamedTuple):

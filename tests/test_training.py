@@ -742,3 +742,66 @@ def test_distributed_tp_production_class_count():
     state, metrics = step(enc_p, enc_s, state, batch)
     assert np.isfinite(float(metrics["TotalLoss"]))
     assert int(jax.device_get(state.step)) == 1
+
+
+def test_nesterov_flag_reaches_sgd():
+    """--nesterov used to be parsed and dropped (the reference has the
+    same dead flag, utils/options.py:56); it now reaches optax and must
+    match torch SGD(nesterov=True) step-for-step (round-5 review)."""
+    torch = pytest.importorskip("torch")
+
+    from ffrnet_tpu.config import Options
+    from ffrnet_tpu.training.trainer import TrainerConfig
+
+    assert Options(nesterov=1).trainer_config().nesterov is True
+
+    w0 = np.random.default_rng(0).normal(0, 1, (5, 3)).astype(np.float32)
+    g = np.random.default_rng(1).normal(0, 1, (5, 3)).astype(np.float32)
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.SGD([tw], lr=0.1, momentum=0.9, nesterov=True)
+    for _ in range(3):
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        opt.step()
+
+    cfg = TrainerConfig(optimizer="sgd", lr=0.1, momentum=0.9,
+                        nesterov=True, clip_value=None,
+                        milestones=(10**9,))
+    tx = cfg.make_tx()
+    params = {"w": jnp.asarray(w0)}
+    st = tx.init(params)
+    for _ in range(3):
+        upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
+        params = jax.tree.map(lambda p, u: p + u, params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), atol=1e-6, rtol=1e-6)
+    # and WITHOUT nesterov the trajectories must differ
+    cfg2 = TrainerConfig(optimizer="sgd", lr=0.1, momentum=0.9,
+                         nesterov=False, clip_value=None,
+                         milestones=(10**9,))
+    tx2 = cfg2.make_tx()
+    p2 = {"w": jnp.asarray(w0)}
+    st2 = tx2.init(p2)
+    for _ in range(3):
+        upd, st2 = tx2.update({"w": jnp.asarray(g)}, st2, p2)
+        p2 = jax.tree.map(lambda p, u: p + u, p2, upd)
+    assert not np.allclose(np.asarray(p2["w"]), tw.detach().numpy())
+
+
+def test_make_mesh_validates_and_warns(capfd):
+    """Oversized mesh axes fail fast with actionable messages instead of
+    a zero-size axis / opaque numpy reshape; leftover devices warn
+    (round-5 review)."""
+    from ffrnet_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="mesh_model 16 exceeds"):
+        make_mesh(n_model=16)
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(n_data=4, n_model=4)  # 16 > 8 visible
+    with pytest.raises(ValueError, match=">= 1"):
+        make_mesh(n_model=0)
+    m = make_mesh(n_model=3)  # 8 devices -> 2x3, 2 idle
+    assert m.shape == {"data": 2, "model": 3}
+    assert "2 idle" in capfd.readouterr().err
+    assert make_mesh(n_data=4, n_model=2).shape == {"data": 4, "model": 2}
