@@ -76,8 +76,6 @@ class Gallery:
     def build(cls, model, images, labels, *, rectified: bool = True,
               batch_size: int = 256) -> "Gallery":
         """Enroll aligned faces through `model` (an api.FFRNet)."""
-        import numpy as np
-
         if len(images) != len(labels):
             raise ValueError("images and labels must be parallel")
         chunks = []
